@@ -1,0 +1,95 @@
+"""End-to-end throughput benchmark: multi-stream gaze inference.
+
+Measures the parity-critical full-pipeline path of SURVEY.md §3.4 — on-TPU
+TV-L1 flow + two-stream SP + AT LSTM step + LF fusion, batched over B
+independent video streams and scanned over T frames in one jit — and
+prints ONE JSON line:
+
+    {"metric": "frames_per_sec_per_chip", "value": N, "unit": "frames/s",
+     "vs_baseline": N/500}
+
+Baseline: BASELINE.json's binding target of >=500 frames/sec/chip
+(the reference publishes no throughput numbers — SURVEY.md §6).
+
+The benchmark path runs bf16 activations (params f32); the parity path
+stays f32 (see GazePipeline dtype). Compile time is excluded; steady-state
+wall clock over several repeats is used.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", 16)))
+    p.add_argument("--frames", type=int, default=int(os.environ.get("BENCH_FRAMES", 8)))
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--image_size", type=int, default=224)
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from gaze_tpu.core.config import default_config
+    from gaze_tpu.data.synthetic import SyntheticSpec, generate_sequence
+    from gaze_tpu.models.pipeline import GazePipeline, make_clip_fn
+
+    import dataclasses
+
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg,
+        image=dataclasses.replace(cfg.image, height=args.image_size, width=args.image_size),
+    )
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    pipeline = GazePipeline(cfg, dtype=dtype)
+    variables = pipeline.init_variables(jax.random.key(0))
+    clip_fn = make_clip_fn(pipeline)
+
+    B, T = args.batch, args.frames
+    frames, _, fixsac = generate_sequence(
+        SyntheticSpec(num_frames=T + 1, height=args.image_size, width=args.image_size)
+    )
+    frames_b = jnp.asarray(np.broadcast_to(frames[None], (B,) + frames.shape).copy())
+    fixsac_b = jnp.asarray(np.broadcast_to(fixsac[None], (B,) + fixsac.shape).copy())
+
+    # Warmup / compile.
+    hm, gz = clip_fn(variables, frames_b, fixsac_b)
+    hm.block_until_ready()
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        hm, gz = clip_fn(variables, frames_b, fixsac_b)
+        hm.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    fps = (B * T) / best
+    baseline_fps = 500.0
+    print(
+        json.dumps(
+            {
+                "metric": "frames_per_sec_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / baseline_fps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

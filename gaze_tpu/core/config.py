@@ -1,0 +1,173 @@
+"""Configuration dataclasses for the whole pipeline.
+
+Mirrors the argparse surface of ``ref:gaze_full.py`` (flags ``--train_sp``,
+``--train_lstm``, ``--train_late``, ``--extract_late``, lr/batch/epoch and
+data-path flags — SURVEY.md §2 "Orchestrator" [M]) as one typed config tree.
+Values tagged [U] in SURVEY.md are explicit fields with documented defaults
+so they can be flipped without code changes once the reference is
+re-verifiable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageConfig:
+    """Input geometry + normalization (ref:data/STdatas.py [M])."""
+
+    height: int = 224
+    width: int = 224
+    # ImageNet mean/std, RGB order — the reference normalizes with these
+    # for the VGG16 spatial stream [M].
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    # Ground-truth gaze heatmaps are Gaussians pasted at the gaze point;
+    # sigma in pixels at 224x224 [U — defensible default, documented].
+    heatmap_sigma: float = 32.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TVL1Config:
+    """Pyramidal TV-L1 optical flow (replaces yjxiong/dense_flow, C++/CUDA).
+
+    Defaults follow Sanchez et al., IPOL 2013 ("TV-L1 Optical Flow
+    Estimation"), with *fixed* iteration counts instead of convergence
+    thresholds so every shape/trip-count is static under jit.
+    """
+
+    pyramid_levels: int = 5
+    pyramid_factor: float = 0.5      # downscale per level
+    tau: float = 0.25                # dual ascent time step
+    lambda_: float = 0.15            # data-term weight
+    theta: float = 0.3               # tightness
+    warps: int = 5                   # image warps per level
+    iters: int = 10                  # primal-dual iterations per warp
+    # dense_flow stores flow as 8-bit JPEGs clipped to [-bound, bound] and
+    # mapped to [0, 255] [U — bound value; dense_flow's common default].
+    quant_bound: float = 15.0
+    # Presmoothing sigma applied before pyramid construction.
+    presmooth_sigma: float = 0.8
+    # 3x3 median filter on the flow between warps (OpenCV medianBlurring).
+    median_filter: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class SPConfig:
+    """Two-stream saliency-prediction network (ref:models/SP.py [M]).
+
+    Spatial stream: RGB (3ch). Temporal stream: quantized TV-L1 flow
+    image (2ch x,y by default; the reference's channel packing is [U]).
+    Streams fuse at conv5_3 (concat 1024ch -> 1x1 conv -> 512) [U fusion
+    point]; decoder mirrors the encoder with ConvTranspose+BN+ReLU,
+    14x14 -> 224x224, final 1-channel sigmoid saliency map [M].
+    """
+
+    flow_channels: int = 2
+    fused_channels: int = 512
+    decoder_channels: Tuple[int, ...] = (512, 256, 128, 64)
+    use_batchnorm: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ATConfig:
+    """Attention-transition LSTM (ref:models/LSTMnet.py, ref:AT.py [M]).
+
+    Operates on 512-d channel-weight vectors pooled from conv5 features
+    around the fixation point; predicts the *next* fixation's weight
+    vector (MSE) [M; hidden size / depth are [U] — configurable].
+    """
+
+    feature_dim: int = 512
+    hidden_size: int = 512
+    num_layers: int = 1
+    # ROI half-width (in 14x14 feature cells) for fixation pooling.
+    roi_size: int = 3
+    # conv5 stride relative to input pixels (224/14).
+    feature_stride: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class LFConfig:
+    """Late-fusion conv head (ref:models/late_fusion.py [M]).
+
+    concat(SP map, AT map) = 2ch -> small 3x3 conv stack -> 1ch sigmoid.
+    Exact depth/width is [U]; defaults chosen small, configurable.
+    """
+
+    channels: Tuple[int, ...] = (32, 32, 8)
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Focal-style BCE on dense heatmaps (ref:floss.py [M])."""
+
+    gamma: float = 2.0
+    eps: float = 1e-7
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """GTEA Gaze+ camera geometry for AAE (ref:utils.py [U intrinsics]).
+
+    AAE converts the pixel offset between predicted and GT gaze into a
+    visual angle via a pinhole model. The exact intrinsics used upstream
+    are unverifiable (empty mount); we default to the GTEA Gaze+ capture
+    geometry commonly cited for the dataset's head-mounted camera and
+    expose every number.
+    """
+
+    # Native capture resolution of GTEA Gaze+ videos.
+    native_width: int = 960
+    native_height: int = 720
+    # Horizontal field of view, degrees.
+    fov_x_deg: float = 74.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Per-stage optimization knobs (ref:gaze_full.py flags [M])."""
+
+    batch_size: int = 32
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-5
+    epochs: int = 10
+    # bf16 activations on the throughput path; f32 on the parity path.
+    compute_dtype: str = "float32"
+    checkpoint_dir: str = "save"
+    checkpoint_every_steps: int = 500
+    log_every_steps: int = 50
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. The model is VGG16-scale, so the only
+    parallelism axis is data (SURVEY.md §2 parallelism table): batch is
+    sharded over a 1-D ``data`` axis; XLA SPMD emits the gradient
+    all-reduce over ICI."""
+
+    data_axis: str = "data"
+    # None -> use all visible devices.
+    num_devices: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level config tree for the SP -> AT -> LF pipeline."""
+
+    image: ImageConfig = dataclasses.field(default_factory=ImageConfig)
+    tvl1: TVL1Config = dataclasses.field(default_factory=TVL1Config)
+    sp: SPConfig = dataclasses.field(default_factory=SPConfig)
+    at: ATConfig = dataclasses.field(default_factory=ATConfig)
+    lf: LFConfig = dataclasses.field(default_factory=LFConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+def default_config() -> PipelineConfig:
+    return PipelineConfig()

@@ -1,0 +1,195 @@
+"""Fused end-to-end gaze pipeline: flow -> SP -> AT -> LF in one jit.
+
+This is the parity-critical path of SURVEY.md §3.4 [C]:
+
+    frame t RGB, frames (t-1, t) -> TV-L1 flow        (on-TPU, ops.tvl1)
+    -> resize 224^2, normalize                         (ops.preprocess)
+    -> SP two-stream forward -> S_t, conv5 F_t
+    -> fixsac(t): if fixation, update LSTM state with w pooled from F_t
+       at the gaze point; LSTM -> w_hat
+    -> A_t = upsample(normalize(sum_c w_hat_c * F_t[c]))
+    -> LF(concat(S_t, A_t)) -> final heatmap H_t -> argmax = gaze point
+
+Where the reference runs three filesystem-mediated stages (dump conv5
+features / SP maps / AT maps to disk between modules — SURVEY.md §3.2
+boundary note), this pipeline keeps every intermediate HBM-resident and
+compiles the whole per-frame step into one XLA program. The
+data-dependent pieces are made jit-safe per SURVEY.md §7 hard part 2:
+fixsac-conditioned LSTM updates are ``where``-gated on a mask, and the
+ROI crop is a clamped ``dynamic_slice``.
+
+Multi-stream throughput (BASELINE.json: >=500 frames/sec/chip) comes
+from batching B independent video streams per step and scanning over
+time with ``lax.scan`` — see :func:`make_clip_fn`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gaze_tpu.core.config import PipelineConfig
+from gaze_tpu.models.at import LSTMNet, attention_map, fixation_pool
+from gaze_tpu.models.lf import LateFusion
+from gaze_tpu.models.sp import SPNet
+from gaze_tpu.ops.heatmap import heatmap_argmax
+from gaze_tpu.ops.preprocess import (
+    normalize_rgb,
+    prepare_temporal_input,
+    resize_frames,
+    rgb_to_gray,
+    to_float,
+)
+from gaze_tpu.ops.tvl1 import tvl1_flow
+
+
+class StreamState(NamedTuple):
+    """Per-stream recurrent state carried across frames."""
+
+    carries: Any          # LSTM (c, h) pairs, list over layers
+    w_hat: jnp.ndarray    # (B, C) last predicted channel weights
+
+
+@dataclasses.dataclass
+class GazePipeline:
+    """Bundles the three modules plus config into pure jit-able fns."""
+
+    config: PipelineConfig
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        self.sp = SPNet(self.config.sp, dtype=self.dtype)
+        self.lstm = LSTMNet(self.config.at, dtype=self.dtype)
+        self.lf = LateFusion(self.config.lf, dtype=self.dtype)
+
+    # ---------------------------------------------------------- init ----
+    def init_variables(self, rng: jax.Array, batch: int = 1) -> Dict[str, Any]:
+        cfg = self.config
+        h, w = cfg.image.height, cfg.image.width
+        r1, r2, r3 = jax.random.split(rng, 3)
+        rgb = jnp.zeros((batch, h, w, 3), self.dtype)
+        flow = jnp.zeros((batch, h, w, cfg.sp.flow_channels), self.dtype)
+        sp_vars = self.sp.init(r1, rgb, flow)
+        lstm_vars = self.lstm.init(r2, jnp.zeros((batch, 2, cfg.at.feature_dim)))
+        lf_vars = self.lf.init(r3, jnp.zeros((batch, h, w, 2)))
+        return {"sp": sp_vars, "at": lstm_vars, "lf": lf_vars}
+
+    def init_state(self, batch: int) -> StreamState:
+        return StreamState(
+            carries=self.lstm.init_carry(batch),
+            w_hat=jnp.ones((batch, self.config.at.feature_dim), jnp.float32),
+        )
+
+    # ------------------------------------------------------- preproc ----
+    def preprocess_pair(
+        self, prev_u8: jnp.ndarray, cur_u8: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """uint8 frame pair -> (normalized rgb, normalized flow input).
+
+        Resize happens *before* the TV-L1 solve so the flow grid matches
+        the model grid (the reference computes flow at native res then
+        resizes the flow JPEG; doing it at 224^2 is the deliberate
+        TPU-side choice — 18x fewer solver FLOPs, same model statistics
+        after quantization-equivalent clipping)."""
+        cfg = self.config
+        prev = resize_frames(to_float(prev_u8), cfg.image.height, cfg.image.width)
+        cur = resize_frames(to_float(cur_u8), cfg.image.height, cfg.image.width)
+        flow = tvl1_flow(rgb_to_gray(prev), rgb_to_gray(cur), cfg.tvl1)
+        flow_in = prepare_temporal_input(flow, cfg.tvl1.quant_bound)
+        rgb_in = normalize_rgb(cur, cfg.image)
+        return rgb_in.astype(self.dtype), flow_in.astype(self.dtype)
+
+    # ---------------------------------------------------------- step ----
+    def step(
+        self,
+        variables: Dict[str, Any],
+        state: StreamState,
+        prev_u8: jnp.ndarray,
+        cur_u8: jnp.ndarray,
+        fixation: jnp.ndarray,
+        gaze_xy: jnp.ndarray | None = None,
+    ) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
+        """One fused per-frame step over B independent streams.
+
+        Args:
+          state: recurrent StreamState.
+          prev_u8/cur_u8: (B, H, W, 3) uint8 frames.
+          fixation: (B,) 1.0 where frame t is a fixation.
+          gaze_xy: optional (B, 2) teacher gaze for feature pooling
+            (training-time extraction); None -> pool at SP's argmax
+            (self-sufficient inference).
+
+        Returns:
+          (new_state, outputs) with saliency/attention/final heatmaps and
+          the decoded gaze point.
+        """
+        cfg = self.config
+        rgb_in, flow_in = self.preprocess_pair(prev_u8, cur_u8)
+        sal, feat = self.sp.apply(variables["sp"], rgb_in, flow_in)
+
+        pool_pt = heatmap_argmax(sal) if gaze_xy is None else gaze_xy
+        w = fixation_pool(feat, pool_pt, cfg.at)
+
+        new_carries, w_pred = self.lstm.apply(
+            variables["at"], state.carries, w, method=LSTMNet.step
+        )
+        # Gate the recurrent update on the fixation bit (jit-safe masking).
+        m = fixation.reshape(-1, 1)
+        carries = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(m, new, old), new_carries, state.carries
+        )
+        w_hat = jnp.where(m, w_pred, state.w_hat)
+
+        amap = attention_map(feat, w_hat, (cfg.image.height, cfg.image.width))
+        fused_in = jnp.stack([sal, amap], axis=-1).astype(self.dtype)
+        final = self.lf.apply(variables["lf"], fused_in)
+
+        out = {
+            "saliency": sal,
+            "attention": amap,
+            "heatmap": final,
+            "gaze": heatmap_argmax(final),
+        }
+        return StreamState(carries=carries, w_hat=w_hat), out
+
+
+def make_step_fn(pipeline: GazePipeline) -> Callable:
+    """jit-compiled single-frame step (donates the stream state)."""
+
+    @jax.jit
+    def step_fn(variables, state, prev_u8, cur_u8, fixation):
+        return pipeline.step(variables, state, prev_u8, cur_u8, fixation)
+
+    return step_fn
+
+
+def make_clip_fn(pipeline: GazePipeline) -> Callable:
+    """jit-compiled clip processor: (B, T+1, H, W, 3) frames ->
+    (B, T, h, w) heatmaps, scanning the fused step over time.
+
+    This is the multi-stream benchmark entry: B streams advance in
+    lockstep, so every frame's 2xVGG16 + TV-L1 runs batched on the MXU
+    while the LSTM recurrence stays a cheap (B, 512) matmul per step.
+    """
+
+    def clip_fn(variables, frames_u8, fixsac):
+        B, Tp1 = frames_u8.shape[0], frames_u8.shape[1]
+        state = pipeline.init_state(B)
+
+        def body(state, xs):
+            prev, cur, fix = xs
+            state, out = pipeline.step(variables, state, prev, cur, fix)
+            return state, (out["heatmap"], out["gaze"])
+
+        xs = (
+            jnp.swapaxes(frames_u8[:, :-1], 0, 1),
+            jnp.swapaxes(frames_u8[:, 1:], 0, 1),
+            jnp.swapaxes(fixsac[:, 1:], 0, 1),
+        )
+        _, (heatmaps, gaze) = jax.lax.scan(body, state, xs)
+        return jnp.swapaxes(heatmaps, 0, 1), jnp.swapaxes(gaze, 0, 1)
+
+    return jax.jit(clip_fn)

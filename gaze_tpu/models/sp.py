@@ -1,0 +1,90 @@
+"""SP — two-stream saliency-prediction encoder-decoder.
+
+TPU-native rebuild of ``ref:models/SP.py`` [M] (SURVEY.md §2 "SP model"):
+
+- spatial stream: VGG16 over normalized RGB (B, 224, 224, 3);
+- temporal stream: VGG16 over the normalized TV-L1 flow image
+  (B, 224, 224, 2 by default — packing is [U], configurable);
+- fusion at conv5_3: channel-concat (1024) -> 1x1 conv -> 512 [U fusion
+  point, documented in SPConfig];
+- decoder: mirrored ConvTranspose(stride 2) + BN + ReLU blocks,
+  14x14 -> 224x224, then 1x1 conv -> 1 channel sigmoid saliency map.
+
+Outputs both the saliency map and the *spatial-stream* conv5 features —
+the AT module pools its 512-d channel-weight vectors from those
+(SURVEY.md §2 "AT feature extraction" [M]).
+
+Everything is NHWC; transposed convs lower to XLA convolutions with LHS
+dilation, which the TPU backend maps onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from gaze_tpu.core.config import SPConfig
+from gaze_tpu.models.vgg import VGG16Features
+
+
+class Decoder(nn.Module):
+    """Upsampling decoder: len(channels) ConvTranspose x2 blocks."""
+
+    cfg: SPConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for i, ch in enumerate(self.cfg.decoder_channels):
+            x = nn.ConvTranspose(
+                ch,
+                kernel_size=(4, 4),
+                strides=(2, 2),
+                padding="SAME",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"deconv{i + 1}",
+            )(x)
+            if self.cfg.use_batchnorm:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"bn{i + 1}",
+                )(x)
+            x = nn.relu(x)
+        x = nn.Conv(
+            1,
+            kernel_size=(1, 1),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="out_conv",
+        )(x)
+        return x  # logits, (B, H, W, 1)
+
+
+class SPNet(nn.Module):
+    """Two-stream SP network. Returns (saliency (B,H,W), conv5 (B,h,w,512))."""
+
+    cfg: SPConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, rgb: jnp.ndarray, flow: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        f_spatial = VGG16Features(name="spatial", **kw)(rgb)
+        f_temporal = VGG16Features(name="temporal", **kw)(flow)
+        fused = jnp.concatenate([f_spatial, f_temporal], axis=-1)
+        fused = nn.Conv(
+            self.cfg.fused_channels, kernel_size=(1, 1), name="fuse_conv", **kw
+        )(fused)
+        fused = nn.relu(fused)
+        logits = Decoder(self.cfg, name="decoder", **kw)(fused, train=train)
+        sal = nn.sigmoid(logits.astype(jnp.float32))[..., 0]
+        return sal, f_spatial.astype(jnp.float32)

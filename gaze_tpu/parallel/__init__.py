@@ -1,0 +1,15 @@
+from gaze_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "batch_sharding",
+    "make_mesh",
+    "replicated",
+    "shard_batch",
+]

