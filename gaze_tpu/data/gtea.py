@@ -114,11 +114,12 @@ def build_manifest(root: str, native_hw: Tuple[int, int] = (720, 960)) -> GTEAMa
     return GTEAManifest(root=root, videos=videos, frames=frames, native_hw=native_hw)
 
 
-def _decode_image(path: str) -> np.ndarray:
-    from PIL import Image
+def _decode_images(paths: List[str]) -> np.ndarray:
+    """Batch-decode JPEGs — native threaded decoder when built (see
+    ``gaze_tpu.data.native_io``), PIL otherwise."""
+    from gaze_tpu.data.native_io import decode_batch
 
-    with Image.open(path) as im:
-        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    return decode_batch(paths)
 
 
 def pair_batches(
@@ -153,8 +154,10 @@ def pair_batches(
         chunk = [pairs[i] for i in order[s : s + batch_size]]
         if not chunk:
             return
-        prev = np.stack([_decode_image(a.image_path) for a, _ in chunk])
-        cur = np.stack([_decode_image(b.image_path) for _, b in chunk])
+        both = _decode_images(
+            [a.image_path for a, _ in chunk] + [b.image_path for _, b in chunk]
+        )
+        prev, cur = both[: len(chunk)], both[len(chunk) :]
         nh, nw = prev.shape[1], prev.shape[2]
         gaze = np.asarray(
             [[b.gaze[0] * tw / nw, b.gaze[1] * th / nh] for _, b in chunk],

@@ -52,7 +52,8 @@ def generate_sequence(spec: SyntheticSpec) -> Tuple[np.ndarray, np.ndarray, np.n
     gaze = np.zeros((T, 2), np.float32)
     fixsac = np.zeros((T,), np.float32)
 
-    margin = 4 * spec.blob_sigma
+    # Keep the blob inside the frame; clamp for small test frames.
+    margin = min(4 * spec.blob_sigma, min(H, W) / 4.0)
     cur = rng.uniform([margin, margin], [W - margin, H - margin])
     t = 0
     while t < T:

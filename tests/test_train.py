@@ -88,15 +88,13 @@ class TestATTraining:
         assert losses[-1] < losses[0]
 
     def test_mask_ignores_padding(self, pipeline):
-        state = create_at_state(jax.random.key(0), pipeline)
+        # NB: the step donates its state, so use a fresh state per call.
         step = make_at_train_step(pipeline)
         ws = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (2, 4, 512)), jnp.float32)
-        full = {"weights": ws, "mask": jnp.ones((2, 4))}
         # poison the padded tail; with mask it must not change the loss
         poisoned = ws.at[:, -1].set(1e6)
         masked = {"weights": poisoned, "mask": jnp.asarray([[1, 1, 1, 0], [1, 1, 1, 0]], jnp.float32)}
-        _, m_full = step(state, full)
-        _, m_masked = step(state, masked)
+        _, m_masked = step(create_at_state(jax.random.key(0), pipeline), masked)
         assert np.isfinite(float(m_masked["loss"]))
         assert float(m_masked["loss"]) < 1e3
 
@@ -136,11 +134,28 @@ class TestFeatureExtraction:
 
 class TestDataParallel:
     def test_dp_matches_single_device(self, pipeline, sp_batch):
-        mesh = make_mesh()
-        assert mesh.size == 8, "conftest must provide 8 virtual devices"
+        """Sharded-batch step == full-batch step. Uses SGD: after an Adam
+        step, near-zero gradients amplify reduction-order float noise to
+        ~2*lr (update ~ lr*sign(g) at step 1), which would make any
+        param-level comparison meaningless."""
+        import optax
 
-        state_1 = create_sp_state(jax.random.key(0), pipeline)
-        state_8 = create_sp_state(jax.random.key(0), pipeline)
+        from gaze_tpu.train.common import make_state
+
+        mesh = make_mesh()
+        assert mesh.size == 8, "testenv must provide 8 virtual devices"
+
+        h, w = pipeline.config.image.height, pipeline.config.image.width
+        variables = pipeline.sp.init(
+            jax.random.key(0),
+            jnp.zeros((1, h, w, 3)),
+            jnp.zeros((1, h, w, pipeline.config.sp.flow_channels)),
+        )
+        tx = optax.sgd(0.1)
+        state_1 = make_state(variables, tx)
+        # fresh buffer copies — the single-device step donates state_1's
+        # buffers, which must not alias state_8's
+        state_8 = make_state(jax.tree_util.tree_map(jnp.copy, variables), tx)
 
         step_single = make_sp_train_step(pipeline)
         step_dp = make_sp_train_step(pipeline, mesh)
@@ -148,9 +163,10 @@ class TestDataParallel:
         sharded = shard_batch(mesh, sp_batch)
         state_1, m1 = step_single(state_1, sp_batch)
         state_8, m8 = step_dp(state_8, sharded)
-        # Same total batch, replicated params -> identical update (f32).
-        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4)
+        # Same total batch, replicated params -> same update modulo
+        # cross-device reduction reordering (f32).
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
         l1 = jax.tree_util.tree_leaves(state_1.params)
         l8 = jax.tree_util.tree_leaves(state_8.params)
         for a, b in zip(l1, l8):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
