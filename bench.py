@@ -65,15 +65,22 @@ def main() -> None:
     frames_b = jnp.asarray(np.broadcast_to(frames[None], (B,) + frames.shape).copy())
     fixsac_b = jnp.asarray(np.broadcast_to(fixsac[None], (B,) + fixsac.shape).copy())
 
-    # Warmup / compile.
-    hm, gz = clip_fn(variables, frames_b, fixsac_b)
-    hm.block_until_ready()
+    # NOTE on timing: this environment reaches the TPU through a relay
+    # where block_until_ready() does not synchronize — only a D2H
+    # materialization does (~25ms RTT). We therefore sync by pulling a
+    # scalar checksum, and size each repeat (batch*frames) so the RTT is
+    # amortized into the noise.
+    @jax.jit
+    def bench_fn(variables, frames_u8, fixsac):
+        hm, gz = clip_fn(variables, frames_u8, fixsac)
+        return hm[:, -1].sum()
+
+    float(bench_fn(variables, frames_b, fixsac_b))  # warmup/compile
 
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        hm, gz = clip_fn(variables, frames_b, fixsac_b)
-        hm.block_until_ready()
+        float(bench_fn(variables, frames_b, fixsac_b))
         times.append(time.perf_counter() - t0)
 
     best = min(times)
