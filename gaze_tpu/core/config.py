@@ -52,6 +52,9 @@ class TVL1Config:
     presmooth_sigma: float = 0.8
     # 3x3 median filter on the flow between warps (OpenCV medianBlurring).
     median_filter: bool = True
+    # Use the block-anchored Pallas warp kernel on TPU (ops/pallas/warp.py);
+    # falls back to the gather-based warp off-TPU regardless.
+    use_pallas_warp: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

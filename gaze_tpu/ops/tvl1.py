@@ -54,6 +54,27 @@ def _pyramid_shapes(h: int, w: int, levels: int, factor: float) -> List[Tuple[in
     return shapes
 
 
+def _warp3(i1, i1x, i1y, u1, u2, cfg: TVL1Config):
+    """Warp the image + its two gradients by (u1, u2) with shared weights.
+
+    On TPU this is the block-anchored Pallas kernel (ops/pallas/warp.py)
+    — the gather-based fallback costs ~2 ms/frame on TPU (scatter/gather
+    unit), ~40x the whole two-stream SP forward. Elsewhere (CPU tests)
+    the plain gather path is used. Displacements beyond the kernel's
+    +-16 px clamp saturate the reference's 8-bit flow quantization
+    anyway (quant_bound), so the clamp is behavior-neutral downstream.
+    """
+    if cfg.use_pallas_warp and jax.default_backend() == "tpu":
+        from gaze_tpu.ops.pallas.warp import warp_fields
+
+        return warp_fields((i1, i1x, i1y), u1, u2)
+    return (
+        warp_backward(i1, u1, u2),
+        warp_backward(i1x, u1, u2),
+        warp_backward(i1y, u1, u2),
+    )
+
+
 def _solve_level(
     i0: jnp.ndarray,
     i1: jnp.ndarray,
@@ -76,13 +97,10 @@ def _solve_level(
     for _ in range(cfg.warps):
         # Warp I1 and its gradients by the current flow estimate. The flow
         # is frozen during the inner iterations (standard warping scheme).
-        u1w, u2w = u1, u2
-        i1w = warp_backward(i1, u1w, u2w)
-        i1wx = warp_backward(i1x, u1w, u2w)
-        i1wy = warp_backward(i1y, u1w, u2w)
+        i1w, i1wx, i1wy = _warp3(i1, i1x, i1y, u1, u2, cfg)
         grad = i1wx * i1wx + i1wy * i1wy
         # Constant part of the linearized residual rho(u).
-        rho_c = i1w - i1wx * u1w - i1wy * u2w - i0
+        rho_c = i1w - i1wx * u1 - i1wy * u2 - i0
 
         def body(carry, _):
             u1, u2, p11, p12, p21, p22 = carry
