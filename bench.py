@@ -33,6 +33,9 @@ def main() -> None:
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--flow_scale", type=float, default=0.5,
+                   help="production serving preset solves TV-L1 at this "
+                        "fraction of the model grid (1.0 = parity path)")
     args = p.parse_args()
 
     import jax
@@ -52,6 +55,7 @@ def main() -> None:
     cfg = dataclasses.replace(
         cfg,
         image=dataclasses.replace(cfg.image, height=args.image_size, width=args.image_size),
+        tvl1=dataclasses.replace(cfg.tvl1, flow_scale=args.flow_scale),
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     pipeline = GazePipeline(cfg, dtype=dtype)

@@ -55,6 +55,13 @@ class TVL1Config:
     # Use the block-anchored Pallas warp kernel on TPU (ops/pallas/warp.py);
     # falls back to the gather-based warp off-TPU regardless.
     use_pallas_warp: bool = True
+    # Solve the flow at this fraction of the model grid and bilinearly
+    # upsample (flow values rescaled). 1.0 = parity path (solve at the
+    # model's 224^2 grid). 0.5 is the production serving preset: 4x less
+    # solver work; the temporal stream consumes 8-bit-quantized flow
+    # images anyway (SURVEY.md §2 "Flow input format"), so the accuracy
+    # cost is at the quantization noise level.
+    flow_scale: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

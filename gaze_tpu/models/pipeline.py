@@ -97,7 +97,25 @@ class GazePipeline:
         cfg = self.config
         prev = resize_frames(to_float(prev_u8), cfg.image.height, cfg.image.width)
         cur = resize_frames(to_float(cur_u8), cfg.image.height, cfg.image.width)
-        flow = tvl1_flow(rgb_to_gray(prev), rgb_to_gray(cur), cfg.tvl1)
+        g0, g1 = rgb_to_gray(prev), rgb_to_gray(cur)
+        if cfg.tvl1.flow_scale != 1.0:
+            # Production preset: solve at a reduced grid, upsample the
+            # field and rescale the displacements (see TVL1Config).
+            s = cfg.tvl1.flow_scale
+            fh = int(round(cfg.image.height * s))
+            fw = int(round(cfg.image.width * s))
+            from gaze_tpu.ops.image import resize_bilinear
+
+            flow_lo = tvl1_flow(
+                resize_bilinear(g0, (fh, fw)), resize_bilinear(g1, (fh, fw)), cfg.tvl1
+            )
+            flow = jax.image.resize(
+                flow_lo, (flow_lo.shape[0], cfg.image.height, cfg.image.width, 2),
+                method="bilinear",
+            ) * (1.0 / s)
+        else:
+            flow = tvl1_flow(g0, g1, cfg.tvl1)
+        flow = jax.lax.stop_gradient(flow)
         flow_in = prepare_temporal_input(flow, cfg.tvl1.quant_bound)
         rgb_in = normalize_rgb(cur, cfg.image)
         return rgb_in.astype(self.dtype), flow_in.astype(self.dtype)

@@ -101,7 +101,23 @@ def median3x3(img: jnp.ndarray) -> jnp.ndarray:
     """
     p = jnp.pad(img, ((0, 0), (1, 1), (1, 1)), mode="edge")
     H, W = img.shape[1], img.shape[2]
-    stack = jnp.stack(
-        [p[:, dy : dy + H, dx : dx + W] for dy in range(3) for dx in range(3)], axis=0
-    )
-    return jnp.median(stack, axis=0)
+    v = [p[:, dy : dy + H, dx : dx + W] for dy in range(3) for dx in range(3)]
+
+    # Median-of-9 via the classic 19-comparator sorting network (Smith
+    # 1996) — pure min/max VPU ops, ~4x cheaper than jnp.median's sort.
+    def mn(a, b):
+        return jnp.minimum(a, b)
+
+    def mx(a, b):
+        return jnp.maximum(a, b)
+
+    def srt(i, j):
+        v[i], v[j] = mn(v[i], v[j]), mx(v[i], v[j])
+
+    for i, j in [
+        (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+        (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+        (4, 2), (6, 4), (4, 2),
+    ]:
+        srt(i, j)
+    return v[4]

@@ -33,8 +33,11 @@ def rgb_to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
 
 
 def resize_frames(frames: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-    """Bilinear resize (B, H, W, C) -> (B, height, width, C)."""
-    B, _, _, C = frames.shape
+    """Bilinear resize (B, H, W, C) -> (B, height, width, C); no-op when
+    already at target size (jax.image.resize still emits work otherwise)."""
+    B, h, w, C = frames.shape
+    if (h, w) == (height, width):
+        return frames
     return jax.image.resize(frames, (B, height, width, C), method="bilinear")
 
 

@@ -133,7 +133,13 @@ def _solve_level(
             return (u1n, u2n, p11, p12, p21, p22), None
 
         (u1, u2, p11, p12, p21, p22), _ = jax.lax.scan(
-            body, (u1, u2, p11, p12, p21, p22), None, length=cfg.iters
+            body,
+            (u1, u2, p11, p12, p21, p22),
+            None,
+            length=cfg.iters,
+            # Unrolling lets XLA fuse across iterations and cuts the
+            # per-iteration dispatch overhead (250 scan steps/frame pair).
+            unroll=min(cfg.iters, 5),
         )
         if cfg.median_filter:
             u1 = median3x3(u1)
