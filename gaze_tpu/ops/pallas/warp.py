@@ -188,9 +188,11 @@ def warp_fields(
 
     u1c = jnp.clip(u1, -max_disp, max_disp)
     u2c = jnp.clip(u2, -max_disp, max_disp)
-    # Pad the flow to the tiled grid (zero flow in the dead zone).
-    u1c = jnp.pad(u1c, ((0, 0), (0, Hk - H), (0, Wk - W)))
-    u2c = jnp.pad(u2c, ((0, 0), (0, Hk - H), (0, Wk - W)))
+    # Pad the flow to the tiled grid. Edge mode, NOT zeros: ragged tiles'
+    # anchor means must stay representative of the real pixels, otherwise
+    # the residual clamp eats real displacement at the image border.
+    u1c = jnp.pad(u1c, ((0, 0), (0, Hk - H), (0, Wk - W)), mode="edge")
+    u2c = jnp.pad(u2c, ((0, 0), (0, Hk - H), (0, Wk - W)), mode="edge")
 
     # Per-tile anchors from tile-mean flow: y quantized to 8s (sublane
     # alignment), x free (applied by an in-kernel lane rotate).
