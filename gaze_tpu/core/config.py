@@ -55,6 +55,9 @@ class TVL1Config:
     # Use the block-anchored Pallas warp kernel on TPU (ops/pallas/warp.py);
     # falls back to the gather-based warp off-TPU regardless.
     use_pallas_warp: bool = True
+    # Fuse the primal-dual inner loop into a VMEM-resident Pallas kernel
+    # on TPU (ops/pallas/tvl1_pd.py); off-TPU uses the lax.scan path.
+    use_pallas_pd: bool = True
     # Solve the flow at this fraction of the model grid and bilinearly
     # upsample (flow values rescaled). 1.0 = parity path (solve at the
     # model's 224^2 grid). 0.5 is the production serving preset: 4x less

@@ -102,6 +102,22 @@ def _solve_level(
         # Constant part of the linearized residual rho(u).
         rho_c = i1w - i1wx * u1 - i1wy * u2 - i0
 
+        if cfg.use_pallas_pd and jax.default_backend() == "tpu":
+            # VMEM-resident fused inner loop (ops/pallas/tvl1_pd.py): the
+            # scan below round-trips a 6-array carry through HBM per
+            # iteration; the kernel keeps all 10 arrays on-chip.
+            from gaze_tpu.ops.pallas.tvl1_pd import pd_iterations
+
+            u1, u2, p11, p12, p21, p22 = pd_iterations(
+                u1, u2, p11, p12, p21, p22, i1wx, i1wy, grad, rho_c,
+                iters=cfg.iters, tau=cfg.tau, lambda_=cfg.lambda_,
+                theta=cfg.theta,
+            )
+            if cfg.median_filter:
+                u1 = median3x3(u1)
+                u2 = median3x3(u2)
+            continue
+
         def body(carry, _):
             u1, u2, p11, p12, p21, p22 = carry
             # --- thresholding step (exact minimizer of the data term) ---
