@@ -210,10 +210,18 @@ def run_train_lstm(args, cfg, pipeline, mesh, sp_vars) -> Dict:
     state = create_at_state(jax.random.key(cfg.train.seed), pipeline)
     ckpt_dir = args.at_ckpt or os.path.join(args.save_dir, "at")
     state = restore_checkpoint(ckpt_dir, state)
-    step_fn = make_at_train_step(pipeline, mesh)
+    bs = min(args.batch_size, len(seqs))
+    # DP batches must divide across the mesh; small corpora train on one
+    # device instead of being padded.
+    at_mesh = mesh
+    if mesh is not None:
+        if bs >= mesh.size:
+            bs = (bs // mesh.size) * mesh.size
+        else:
+            at_mesh = None
+    step_fn = make_at_train_step(pipeline, at_mesh)
     logger = StepLogger("at", every=args.log_every)
     rng = np.random.default_rng(0)
-    bs = min(args.batch_size, len(seqs))
     for epoch in range(args.epochs):
         order = rng.permutation(len(seqs))
         for s in range(0, len(order) - bs + 1, bs):
@@ -260,7 +268,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     args = build_argparser().parse_args(argv)
     cfg = make_config(args)
     pipeline = GazePipeline(cfg)
-    mesh = make_mesh(args.dp_devices) if jax.device_count() > 1 else None
+    # DP mesh sized so the batch divides across it: the largest divisor
+    # of batch_size that fits the available (or requested) devices.
+    avail = args.dp_devices or jax.device_count()
+    n_dp = max(d for d in range(1, avail + 1) if args.batch_size % d == 0)
+    mesh = make_mesh(n_dp) if n_dp > 1 else None
 
     rng = jax.random.key(cfg.train.seed)
     sp_vars = at_vars = None

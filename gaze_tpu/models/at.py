@@ -46,7 +46,9 @@ def fixation_pool(
       (B, C) channel-weight vectors.
     """
     B, h, w, C = features.shape
-    r = cfg.roi_size
+    # Clamp the ROI to the feature grid (tiny test inputs give conv5
+    # grids smaller than the default 3x3 ROI).
+    r = min(cfg.roi_size, h, w)
     # Map pixel coords -> feature cells; clamp so the ROI stays in-bounds.
     fx = jnp.clip(
         jnp.round(points[:, 0] / cfg.feature_stride).astype(jnp.int32) - r // 2, 0, w - r

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Dump (or verify) module-boundary golden tensors for parity checking.
+
+Workflow (docs/PARITY.md): run the float32 parity path (full-grid flow)
+on fixed inputs and dump every module boundary — SP saliency, SP conv5,
+AT weights/attention, LF heatmap — to an .npz. Later, compare a new
+build (or, when the PyTorch reference is available, its outputs exported
+with the same keys) within tolerance.
+
+    python tools/dump_goldens.py --out goldens.npz          # dump
+    python tools/dump_goldens.py --compare goldens.npz      # verify
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", type=str, default=None)
+    p.add_argument("--compare", type=str, default=None)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--atol", type=float, default=1e-5)
+    p.add_argument("--sp_ckpt", type=str, default=None,
+                   help="optional SP checkpoint (random init otherwise)")
+    args = p.parse_args()
+    if not args.out and not args.compare:
+        p.error("need --out or --compare")
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaze_tpu.core.config import ImageConfig, default_config
+    from gaze_tpu.data.synthetic import SyntheticSpec, generate_sequence
+    from gaze_tpu.evaluation.goldens import (
+        compare_goldens,
+        load_goldens,
+        pipeline_module_outputs,
+        save_goldens,
+    )
+    from gaze_tpu.models.pipeline import GazePipeline
+
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, image=dataclasses.replace(
+            cfg.image, height=args.image_size, width=args.image_size
+        )
+    )
+    # float32 + full-grid flow = the parity path.
+    pipeline = GazePipeline(cfg, dtype=jnp.float32)
+    variables = pipeline.init_variables(jax.random.key(args.seed))
+    if args.sp_ckpt:
+        from gaze_tpu.core.checkpoint import restore_checkpoint
+
+        variables["sp"] = restore_checkpoint(args.sp_ckpt, variables["sp"])
+
+    frames, _, fixsac = generate_sequence(
+        SyntheticSpec(
+            num_frames=args.batch + 1,
+            height=args.image_size,
+            width=args.image_size,
+            seed=args.seed,
+        )
+    )
+    prev = jnp.asarray(frames[: args.batch])
+    cur = jnp.asarray(frames[1 : args.batch + 1])
+    fix = jnp.asarray(fixsac[1 : args.batch + 1])
+    state = pipeline.init_state(args.batch)
+
+    out = pipeline_module_outputs(pipeline, variables, state, prev, cur, fix)
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    if args.out:
+        save_goldens(args.out, out)
+        print(f"wrote {len(out)} tensors to {args.out}")
+        return 0
+
+    ok, report = compare_goldens(out, load_goldens(args.compare), atol=args.atol)
+    for k, d in sorted(report.items()):
+        print(f"{k}: max|diff| = {d:.3g}")
+    print("PARITY OK" if ok else "PARITY MISMATCH")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
