@@ -28,7 +28,7 @@ import numpy as np
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", 16)))
+    p.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", 128)))
     p.add_argument("--frames", type=int, default=int(os.environ.get("BENCH_FRAMES", 8)))
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--dtype", type=str, default="bfloat16")

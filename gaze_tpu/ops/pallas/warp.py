@@ -52,9 +52,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 8
+TILE_H = 32   # processing-tile rows (bigger vector ops, fewer loop trips)
 TILE_W = 128
-DRY = 8   # y-residual bound (covers the 8-quantized y anchor)
+QY = 8        # y-anchor quantum: dynamic loads must be sublane-aligned
+DRY = 8       # y-residual bound (covers the QY-quantized y anchor)
 MAX_DISP = 16
 
 # Field padding. PAD_Y is a sublane multiple (dynamic vector loads must
@@ -86,10 +87,10 @@ def _warp_kernel(n_fields, n_by, n_bx, interpret, ay_ref, ax_ref, *refs):
     r1_ref, r2_ref = refs[n_fields], refs[n_fields + 1]
     outs = refs[n_fields + 2 :]
 
-    # Window loads are (32, 256): tpu.dynamic_rotate (and friendliest
+    # Window loads are (56, 256): tpu.dynamic_rotate (and friendliest
     # vector layouts) want 8/128-aligned shapes; the extra rows/cols are
     # slack the inner slices never touch.
-    WIN_ROWS = 32   # >= TILE_H + 2*DRY + 2 = 26
+    WIN_ROWS = 56   # >= TILE_H + 2*DRY + 2 = 50
     WIN_COLS = 256  # >= TILE_W + 2*MAX_DISP + 2 = 162
 
     def roll_cols(arr, s):
@@ -103,7 +104,7 @@ def _warp_kernel(n_fields, n_by, n_bx, interpret, ay_ref, ax_ref, *refs):
         bx = t % n_bx
         ys = pl.multiple_of(by * TILE_H, TILE_H)
         xs = pl.multiple_of(bx * TILE_W, TILE_W)
-        ayq = ay_ref[0, t]  # y anchor / 8
+        ayq = ay_ref[0, t]  # y anchor / QY
         ax = ax_ref[0, t]   # x anchor (free; applied by lane rotate)
 
         r1 = r1_ref[pl.ds(ys, TILE_H), pl.ds(xs, TILE_W)]
@@ -118,9 +119,7 @@ def _warp_kernel(n_fields, n_by, n_bx, interpret, ay_ref, ax_ref, *refs):
         # Source window origin. base_y is a multiple of 8 by construction
         # (every term is), which Mosaic requires for dynamic vector loads;
         # base_x is static and lane-aligned (x has no anchor).
-        base_y = pl.multiple_of(
-            ys + PAD_Y + TILE_H * ayq - DRY, TILE_H
-        )
+        base_y = pl.multiple_of(ys + PAD_Y + QY * ayq - DRY, QY)
         base_x = xs  # == xs + PAD_X - MAX_DISP
 
         # Aligned static-x load, then one dynamic lane-rotate applies the
@@ -201,7 +200,7 @@ def warp_fields(
     mean1 = jnp.mean(t1, axis=(2, 4))
     mean2 = jnp.mean(t2, axis=(2, 4))
     ayq = jnp.clip(
-        jnp.round(mean2 / TILE_H), -(max_disp // TILE_H), max_disp // TILE_H
+        jnp.round(mean2 / QY), -(max_disp // QY), max_disp // QY
     ).astype(jnp.int32)
     ax = jnp.clip(jnp.round(mean1), -max_disp + DRX, max_disp - DRX).astype(jnp.int32)
     # Mosaic wants the trailing dim of (even SMEM) blocks 128-aligned.
@@ -214,7 +213,7 @@ def warp_fields(
     )
 
     # Residuals w.r.t. the broadcast anchors, clamped to the bounds.
-    ay_b = jnp.repeat(jnp.repeat(ayq * TILE_H, TILE_H, 1), TILE_W, 2).astype(u2c.dtype)
+    ay_b = jnp.repeat(jnp.repeat(ayq * QY, TILE_H, 1), TILE_W, 2).astype(u2c.dtype)
     ax_b = jnp.repeat(jnp.repeat(ax, TILE_H, 1), TILE_W, 2).astype(u1c.dtype)
     r1 = jnp.clip(u1c - ax_b, -DRX, DRX)
     r2 = jnp.clip(u2c - ay_b, -DRY, DRY)
