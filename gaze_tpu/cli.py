@@ -89,6 +89,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dp_devices", type=int, default=None,
                    help="devices for data parallelism (default: all)")
     p.add_argument("--log_every", type=int, default=20)
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (the debug-config stand-in "
+                        "for sanitizers; SURVEY.md §5)")
     return p
 
 
@@ -266,6 +269,8 @@ def run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> Dict[str, float
 
 def main(argv: Optional[List[str]] = None) -> None:
     args = build_argparser().parse_args(argv)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     cfg = make_config(args)
     pipeline = GazePipeline(cfg)
     # DP mesh sized so the batch divides across it: the largest divisor
