@@ -89,6 +89,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dp_devices", type=int, default=None,
                    help="devices for data parallelism (default: all)")
     p.add_argument("--log_every", type=int, default=20)
+    p.add_argument("--ckpt_every", type=int, default=500,
+                   help="periodic checkpoint interval in steps (0 = only "
+                        "at stage end)")
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="periodic SP validation interval in steps (0 = off)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (the debug-config stand-in "
                         "for sanitizers; SURVEY.md §5)")
@@ -148,11 +153,26 @@ def run_train_sp(args, cfg, pipeline, mesh) -> Dict:
     ckpt_dir = args.sp_ckpt or os.path.join(args.save_dir, "sp")
     state = restore_checkpoint(ckpt_dir, state)
     step_fn = make_sp_train_step(pipeline, mesh)
+    eval_fn = make_sp_eval_step(pipeline) if args.eval_every else None
     logger = StepLogger("sp", every=args.log_every)
     for epoch in range(args.epochs):
         for batch in device_prefetch(_batches(args, cfg, train=True), mesh):
             state, metrics = step_fn(state, batch)
-            logger.log(int(state.step), metrics)
+            step_no = int(state.step)
+            logger.log(step_no, metrics)
+            # Crash-resilience: periodic checkpoints (the reference loses
+            # everything past the last epoch save — SURVEY.md §5).
+            if args.ckpt_every and step_no % args.ckpt_every == 0:
+                save_checkpoint(ckpt_dir, step_no, jax.device_get(state))
+            if eval_fn is not None and step_no % args.eval_every == 0:
+                vb = next(iter(_batches(args, cfg, train=False)))
+                m = eval_fn(state, vb)
+                logger.log(
+                    step_no,
+                    {"val_aae": float(np.mean(np.asarray(m["aae"]))),
+                     "val_auc": float(np.mean(np.asarray(m["auc"])))},
+                    force=True,
+                )
     save_checkpoint(ckpt_dir, int(state.step), jax.device_get(state))
     return {"params": state.params, "batch_stats": state.batch_stats}
 
