@@ -51,6 +51,10 @@ class StreamState(NamedTuple):
 
     carries: Any          # LSTM (c, h) pairs, list over layers
     w_hat: jnp.ndarray    # (B, C) last predicted channel weights
+    prev_fix: jnp.ndarray # (B,) previous frame's fixation bit — the AT
+                          # LSTM advances once per fixation ONSET
+                          # ("if new fixation" — SURVEY.md §3.4 [M]),
+                          # not on every frame within a fixation
 
 
 @dataclasses.dataclass
@@ -81,6 +85,7 @@ class GazePipeline:
         return StreamState(
             carries=self.lstm.init_carry(batch),
             w_hat=jnp.ones((batch, self.config.at.feature_dim), jnp.float32),
+            prev_fix=jnp.zeros((batch,), jnp.float32),
         )
 
     # ------------------------------------------------------- preproc ----
@@ -154,8 +159,11 @@ class GazePipeline:
         new_carries, w_pred = self.lstm.apply(
             variables["at"], state.carries, w, method=LSTMNet.step
         )
-        # Gate the recurrent update on the fixation bit (jit-safe masking).
-        m = fixation.reshape(-1, 1)
+        # Gate the recurrent update on fixation ONSET (jit-safe masking):
+        # the AT LSTM models transitions *between* fixations, so it steps
+        # once when a new fixation begins, not on every frame of it.
+        onset = fixation * (1.0 - state.prev_fix)
+        m = onset.reshape(-1, 1)
         carries = jax.tree_util.tree_map(
             lambda new, old: jnp.where(m, new, old), new_carries, state.carries
         )
@@ -171,7 +179,8 @@ class GazePipeline:
             "heatmap": final,
             "gaze": heatmap_argmax(final),
         }
-        return StreamState(carries=carries, w_hat=w_hat), out
+        new_state = StreamState(carries=carries, w_hat=w_hat, prev_fix=fixation)
+        return new_state, out
 
 
 def make_step_fn(pipeline: GazePipeline) -> Callable:

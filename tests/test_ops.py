@@ -145,3 +145,28 @@ class TestHeatmap:
         out = normalize_map(hm)
         np.testing.assert_allclose(np.asarray(out).min(axis=(1, 2)), 0.0, atol=1e-5)
         np.testing.assert_allclose(np.asarray(out).max(axis=(1, 2)), 1.0, atol=1e-4)
+
+
+class TestTVL1AffineFlow:
+    def test_recovers_small_rotation_zoom(self):
+        """Affine motion (rotation + zoom) — endpoint error bound in the
+        interior, exercising spatially-varying flow through the solver."""
+        from scipy.ndimage import map_coordinates
+
+        cfg = TVL1Config(pyramid_levels=3, warps=3, iters=15)
+        H, W = 48, 64
+        tex = smooth_texture(H, W, seed=11, sigma=3.0)[0]
+        ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+        cy, cx = H / 2.0, W / 2.0
+        ang, zoom = 0.03, 1.02  # ~1.7 deg rotation, 2% zoom
+        # inverse map for i1(p) = i0(A^-1 p)
+        xr = (np.cos(ang) * (xs - cx) + np.sin(ang) * (ys - cy)) / zoom + cx
+        yr = (-np.sin(ang) * (xs - cx) + np.cos(ang) * (ys - cy)) / zoom + cy
+        i1 = map_coordinates(tex, [yr, xr], order=1, mode="nearest")
+        # ground-truth forward flow: where each i0 pixel appears in i1
+        gt_u = np.stack([xs - xr, ys - yr], -1)  # approx for small motion
+        flow = np.asarray(
+            tvl1_flow(jnp.asarray(tex[None]), jnp.asarray(i1[None]), cfg)
+        )[0]
+        epe = np.linalg.norm(flow - gt_u, axis=-1)[10:-10, 10:-10]
+        assert np.median(epe) < 0.5, float(np.median(epe))

@@ -101,3 +101,39 @@ class TestClip:
         np.testing.assert_allclose(
             np.asarray(hm_dual[1]), np.asarray(hm_single[0]), atol=1e-5
         )
+
+
+class TestFixationOnsetGating:
+    def test_lstm_steps_once_per_fixation(self, setup):
+        """The AT LSTM advances at fixation ONSET only: two consecutive
+        fixation frames must not advance the state twice (SURVEY.md §3.4
+        "if new fixation, update LSTM state")."""
+        pipeline, variables, frames, _, _ = setup
+        prev = jnp.asarray(frames[0:1])
+        cur = jnp.asarray(frames[1:2])
+        one = jnp.ones((1,))
+
+        s0 = pipeline.init_state(1)
+        s1, _ = pipeline.step(variables, s0, prev, cur, one)   # onset
+        s2, _ = pipeline.step(variables, s1, prev, cur, one)   # continuation
+        # carries/w_hat frozen during the continuation frame
+        np.testing.assert_allclose(
+            np.asarray(s1.w_hat), np.asarray(s2.w_hat), atol=0
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.carries),
+            jax.tree_util.tree_leaves(s2.carries),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # saccade then fixation -> a fresh onset advances the state again
+        s3, _ = pipeline.step(variables, s2, prev, cur, jnp.zeros((1,)))
+        s4, _ = pipeline.step(variables, s3, prev, cur, one)
+        changed = [
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(s2.carries),
+                jax.tree_util.tree_leaves(s4.carries),
+            )
+        ]
+        assert any(changed)
