@@ -8,14 +8,20 @@ through HBM; here the whole loop runs inside one kernel with every
 array VMEM-resident, so the iterations are pure VPU compute.
 
 Implementation notes:
-- Grid is (B,): one program per frame; at 224x256(f32) the 10 arrays
-  are ~2.3 MB — comfortably inside VMEM.
+- TPU grid programs execute sequentially, so one-frame-per-program
+  wastes time on per-program overhead at large stream counts. Frames
+  are therefore STACKED into a tall (GB*Hk, Wk) canvas with GB frames
+  per program (GB sized to a VMEM budget); the border masking (below)
+  makes frame boundaries exact with no extra logic: each frame's
+  y-duals are zero at its last real row, and the padded rows between
+  frames stay zero, so the stacked divergence reduces to the per-frame
+  form.
 - Frames are padded to (8k, 128k) canvases for Mosaic layout; the
   Neumann boundary condition is imposed by masking the forward
-  differences at the *real* image border (col W-1 / row H-1), which
-  also firewalls the padded dead zone: divergence at real pixels only
-  ever reads p-values at real pixels, and the masked gradient keeps
-  the dead zone from leaking into p.
+  differences at the *real* image border (col W-1 / row (H-1 mod Hk)),
+  which also firewalls the padded dead zone: divergence at real pixels
+  only ever reads p-values at real pixels, and the masked gradient
+  keeps the dead zone from leaking into p.
 - The math matches gaze_tpu.ops.tvl1._solve_level's scan body exactly
   (thresholding step, primal update from the dual divergence, dual
   ascent with reprojection) — asserted by tests in interpret mode.
@@ -38,7 +44,7 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pd_kernel(H, W, iters, tau, lambda_, theta, *refs):
+def _pd_kernel(H, W, Hk, iters, tau, lambda_, theta, *refs):
     (u1_ref, u2_ref, p11_ref, p12_ref, p21_ref, p22_ref,
      i1wx_ref, i1wy_ref, grad_ref, rho_c_ref,
      o_u1, o_u2, o_p11, o_p12, o_p21, o_p22) = refs
@@ -46,12 +52,13 @@ def _pd_kernel(H, W, iters, tau, lambda_, theta, *refs):
     lt = lambda_ * theta
     taut = tau / theta
 
-    Hk, Wk = u1_ref.shape
-    row = jax.lax.broadcasted_iota(jnp.int32, (Hk, Wk), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (Hk, Wk), 1)
-    # Neumann bc at the REAL border; also isolates the padded dead zone.
+    Ht, Wk = u1_ref.shape  # tall canvas: GB stacked frames of Hk rows
+    row = jax.lax.broadcasted_iota(jnp.int32, (Ht, Wk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Ht, Wk), 1)
+    # Neumann bc at each frame's REAL border; also isolates the padded
+    # dead zones (incl. the rows between stacked frames).
     mask_x = (col < W - 1).astype(jnp.float32)
-    mask_y = (row < H - 1).astype(jnp.float32)
+    mask_y = ((row % Hk) < H - 1).astype(jnp.float32)
 
     i1wx = i1wx_ref[:]
     i1wy = i1wy_ref[:]
@@ -59,7 +66,7 @@ def _pd_kernel(H, W, iters, tau, lambda_, theta, *refs):
     rho_c = rho_c_ref[:]
 
     def fwd_grad(u):
-        gx = jnp.concatenate([u[:, 1:] - u[:, :-1], jnp.zeros((Hk, 1), u.dtype)], 1)
+        gx = jnp.concatenate([u[:, 1:] - u[:, :-1], jnp.zeros((Ht, 1), u.dtype)], 1)
         gy = jnp.concatenate([u[1:, :] - u[:-1, :], jnp.zeros((1, Wk), u.dtype)], 0)
         return gx * mask_x, gy * mask_y
 
@@ -131,23 +138,33 @@ def pd_iterations(
     Hk = _ceil_to(H, 8)
     Wk = _ceil_to(W, 128)
 
+    # Frames per program, sized against real VMEM usage: Pallas
+    # double-buffers every in/out block (2 x 16 canvases) and the loop
+    # carry + temps live on top (~6 canvases). Largest divisor of B.
+    frame_bytes = Hk * Wk * 4
+    budget = 14 * 1024 * 1024
+    gb_max = max(1, budget // ((2 * 16 + 6) * frame_bytes))
+    gb = max(d for d in range(1, min(B, gb_max) + 1) if B % d == 0)
+    n_prog = B // gb
+
     def padit(x):
-        return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, Hk - H), (0, Wk - W)))
+        p = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, Hk - H), (0, Wk - W)))
+        return p.reshape(n_prog, gb * Hk, Wk)
 
     ins = [padit(x) for x in (u1, u2, p11, p12, p21, p22, i1wx, i1wy, grad, rho_c)]
 
-    kernel = functools.partial(_pd_kernel, H, W, iters, tau, lambda_, theta)
+    kernel = functools.partial(_pd_kernel, H, W, Hk, iters, tau, lambda_, theta)
 
     def squeezing_kernel(*refs):
         kernel(*[r.at[0] for r in refs])
 
-    spec = pl.BlockSpec((1, Hk, Wk), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((1, gb * Hk, Wk), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         squeezing_kernel,
-        grid=(B,),
+        grid=(n_prog,),
         in_specs=[spec] * 10,
         out_specs=[spec] * 6,
-        out_shape=[jax.ShapeDtypeStruct((B, Hk, Wk), jnp.float32)] * 6,
+        out_shape=[jax.ShapeDtypeStruct((n_prog, gb * Hk, Wk), jnp.float32)] * 6,
         interpret=interpret,
     )(*ins)
-    return tuple(o[:, :H, :W] for o in outs)
+    return tuple(o.reshape(B, Hk, Wk)[:, :H, :W] for o in outs)
