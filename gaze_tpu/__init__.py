@@ -22,3 +22,20 @@ SURVEY.md §0); structural citations use the reconstructed upstream layout
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import gaze_tpu` free of jax imports)."""
+    if name == "GazePipeline":
+        from gaze_tpu.models.pipeline import GazePipeline
+
+        return GazePipeline
+    if name == "StreamServer":
+        from gaze_tpu.serve import StreamServer
+
+        return StreamServer
+    if name == "default_config":
+        from gaze_tpu.core.config import default_config
+
+        return default_config
+    raise AttributeError(name)

@@ -272,17 +272,46 @@ def run_train_late(args, cfg, pipeline, mesh, sp_vars, at_vars) -> Dict:
 
 
 def run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> Dict[str, float]:
+    """Full-pipeline evaluation; per-video AAE/AUC breakdown plus the
+    average, matching the reference's report format (SURVEY.md §3.5)."""
     frozen = {"sp": sp_vars, "at": at_vars}
     eval_fn = make_lf_eval_step(pipeline, frozen)
-    aaes, aucs = [], []
-    for batch in _batches(args, cfg, train=False):
-        m = eval_fn(lf_state, batch)
-        aaes.append(np.asarray(m["aae"]))
-        aucs.append(np.asarray(m["auc"]))
-    result = {
-        "AAE_deg": float(np.concatenate(aaes).mean()) if aaes else float("nan"),
-        "AUC": float(np.concatenate(aucs).mean()) if aucs else float("nan"),
-    }
+
+    def eval_batches(batches):
+        aaes, aucs = [], []
+        for batch in batches:
+            m = eval_fn(lf_state, batch)
+            aaes.append(np.asarray(m["aae"]))
+            aucs.append(np.asarray(m["auc"]))
+        if not aaes:
+            return float("nan"), float("nan")
+        return (
+            float(np.concatenate(aaes).mean()),
+            float(np.concatenate(aucs).mean()),
+        )
+
+    per_video = {}
+    if args.data_root:
+        manifest = build_manifest(args.data_root)
+        subject = args.test_subject or manifest.subjects()[0]
+        _, test_recs = manifest.split_leave_one_out(subject)
+        for v in sorted({r.video for r in test_recs}):
+            recs = [r for r in test_recs if r.video == v]
+            aae_v, auc_v = eval_batches(
+                pair_batches(
+                    recs, args.batch_size,
+                    (cfg.image.height, cfg.image.width),
+                    shuffle=False, drop_remainder=False,
+                )
+            )
+            per_video[v] = (aae_v, auc_v)
+            print({"video": v, "AAE_deg": round(aae_v, 3), "AUC": round(auc_v, 4)})
+        aae = float(np.mean([a for a, _ in per_video.values()]))
+        auc = float(np.mean([c for _, c in per_video.values()]))
+    else:
+        aae, auc = eval_batches(_batches(args, cfg, train=False))
+
+    result = {"AAE_deg": aae, "AUC": auc}
     print(result)
     return result
 

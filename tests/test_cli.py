@@ -68,3 +68,41 @@ class TestDistributedHelpers:
 
         # one host feeds everything; divisibility is trivially satisfied
         assert local_batch_slice(7) == slice(0, 7)
+
+
+class TestGTEAEval:
+    @pytest.fixture()
+    def fake_root(self, tmp_path):
+        from PIL import Image
+        import numpy as np
+
+        root = tmp_path / "gtea"
+        rng = np.random.default_rng(0)
+        for video in ["Alice_Pizza", "Bob_Burger"]:
+            vdir = root / "images" / video
+            vdir.mkdir(parents=True)
+            for i in range(6):
+                img = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+                Image.fromarray(img).save(vdir / f"{i:06d}.jpg")
+            (root / "gaze").mkdir(exist_ok=True)
+            with open(root / "gaze" / f"{video}.txt", "w") as f:
+                for i in range(6):
+                    f.write(f"{10 + i} {12 + i}\n")
+            (root / "fixsac").mkdir(exist_ok=True)
+            with open(root / "fixsac" / f"{video}.txt", "w") as f:
+                f.write("1\n1\n0\n1\n1\n1\n")
+        return str(root)
+
+    def test_full_stack_on_gtea_layout(self, fake_root, save_dir, capsys):
+        """Train + per-video eval against the reference's on-disk dataset
+        layout (leave-one-subject-out split, native JPEG decode)."""
+        run_cli(
+            ["--train_sp", "--train_late", "--eval",
+             "--data_root", fake_root, "--test_subject", "Alice",
+             "--save_dir", save_dir,
+             "--image_size", "32", "--batch_size", "2", "--epochs", "1",
+             "--seq_len", "4", "--log_every", "1"]
+        )
+        out = capsys.readouterr().out
+        assert "Alice_Pizza" in out      # per-video breakdown
+        assert "AAE_deg" in out
