@@ -94,6 +94,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "at stage end)")
     p.add_argument("--eval_every", type=int, default=0,
                    help="periodic SP validation interval in steps (0 = off)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 activations (f32 params) — the serving/"
+                        "throughput preset; default float32 parity path")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (the debug-config stand-in "
                         "for sanitizers; SURVEY.md §5)")
@@ -321,7 +324,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     cfg = make_config(args)
-    pipeline = GazePipeline(cfg)
+    pipeline = GazePipeline(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     # DP mesh sized so the batch divides across it: the largest divisor
     # of batch_size that fits the available (or requested) devices.
     avail = args.dp_devices or jax.device_count()
