@@ -151,21 +151,38 @@ def _warp_kernel(
         ]
 
         accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(n_fields)]
+        # Residual ranges are usually a small fraction of the mask grid
+        # (TV-smooth flow): runtime-skip dy rows whose weights are all
+        # zero. lax.cond carries the accumulators functionally; the
+        # x-loop stays unrolled inside the taken branch.
+        y0min = jnp.min(y0)
+        y0max = jnp.max(y0)
         for dy in range(-DRY, DRY + 2):
-            wy = jnp.where(y0 == dy, 1.0 - fy, 0.0) + jnp.where(
-                y0 == dy - 1, fy, 0.0
-            )
             oy = dy + DRY
-            for dx in range(-DRX, DRX + 2):
-                wx = jnp.where(x0 == dx, 1.0 - fx, 0.0) + jnp.where(
-                    x0 == dx - 1, fx, 0.0
+
+            def dy_work(accs, dy=dy, oy=oy):
+                wy = jnp.where(y0 == dy, 1.0 - fy, 0.0) + jnp.where(
+                    y0 == dy - 1, fy, 0.0
                 )
-                w = wy * wx
-                ox = dx + DRX
-                for f in range(n_fields):
-                    accs[f] = accs[f] + w * jax.lax.slice(
-                        srcs[f], (oy, ox), (oy + TILE_H, ox + TILE_W)
+                out = list(accs)
+                for dx in range(-DRX, DRX + 2):
+                    wx = jnp.where(x0 == dx, 1.0 - fx, 0.0) + jnp.where(
+                        x0 == dx - 1, fx, 0.0
                     )
+                    w = wy * wx
+                    ox = dx + DRX
+                    for f in range(n_fields):
+                        out[f] = out[f] + w * jax.lax.slice(
+                            srcs[f], (oy, ox), (oy + TILE_H, ox + TILE_W)
+                        )
+                return tuple(out)
+
+            pred = jnp.logical_and(dy >= y0min, dy <= y0max + 1)
+            accs = list(
+                jax.lax.cond(pred, dy_work, lambda a: tuple(a), tuple(accs))
+            )
+            # (An analogous dx-level skip measured neutral: the per-branch
+            # overhead cancels the saved FMAs at typical x-ranges.)
         for f in range(n_fields):
             outs[f][pl.ds(ys, TILE_H), pl.ds(xs, TILE_W)] = accs[f]
         return 0
