@@ -36,6 +36,9 @@ def main() -> None:
     p.add_argument("--flow_scale", type=float, default=0.5,
                    help="production serving preset solves TV-L1 at this "
                         "fraction of the model grid (1.0 = parity path)")
+    p.add_argument("--mode", choices=["infer", "train"], default="infer",
+                   help="train: SP training-step throughput instead of "
+                        "the (default, driver-facing) inference bench")
     args = p.parse_args()
 
     import jax
@@ -59,6 +62,47 @@ def main() -> None:
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     pipeline = GazePipeline(cfg, dtype=dtype)
+
+    if args.mode == "train":
+        from gaze_tpu.data.synthetic import SyntheticSpec, batch_iterator
+        from gaze_tpu.train.sp import create_sp_state, make_sp_train_step
+
+        state = create_sp_state(jax.random.key(0), pipeline)
+        step = make_sp_train_step(pipeline)
+        batch = next(
+            batch_iterator(
+                SyntheticSpec(
+                    num_frames=args.batch * 2 + 1,
+                    height=args.image_size,
+                    width=args.image_size,
+                ),
+                args.batch,
+                1,
+            )
+        )
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, m = step(state, batch)
+        float(m["loss"])  # compile + sync
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            for _ in range(4):
+                state, m = step(state, batch)
+            float(m["loss"])
+            times.append((time.perf_counter() - t0) / 4)
+        fps = args.batch / min(times)
+        print(
+            json.dumps(
+                {
+                    "metric": "train_frames_per_sec_per_chip",
+                    "value": round(fps, 2),
+                    "unit": "frames/s",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
+
     variables = pipeline.init_variables(jax.random.key(0))
     clip_fn = make_clip_fn(pipeline)
 
