@@ -186,3 +186,48 @@ class TestWeightConverter:
     def test_stage_structure(self):
         total_convs = sum(len(s) for s in VGG16_STAGES)
         assert total_convs == 13
+
+
+class TestSPWeightImport:
+    def test_init_sp_from_torch_checkpoint(self, tmp_path):
+        """Full import path: torch .pth on disk -> both SP encoder streams
+        loaded (spatial 3ch, temporal 2ch cross-modality), decoder left
+        at its random init."""
+        import torch
+
+        from gaze_tpu.core.config import SPConfig
+        from gaze_tpu.models.weights_io import init_sp_from_torch_vgg16
+
+        rng = np.random.default_rng(3)
+        state = {
+            k: torch.from_numpy(v)
+            for k, v in TestWeightConverter()._fake_torch_vgg16_state(rng).items()
+        }
+        pth = str(tmp_path / "vgg16.pth")
+        torch.save(state, pth)
+
+        sp = SPNet(SPConfig())
+        variables = sp.init(
+            RNG, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 2))
+        )
+        old_decoder = jax.tree_util.tree_leaves(variables["params"]["decoder"])
+        loaded = init_sp_from_torch_vgg16(variables, pth, flow_channels=2)
+
+        # spatial conv1_1 must equal the converted torch kernel
+        w_torch = state["features.0.weight"].numpy()
+        np.testing.assert_allclose(
+            np.asarray(loaded["params"]["spatial"]["conv1_1"]["kernel"]),
+            np.transpose(w_torch, (2, 3, 1, 0)),
+            atol=1e-6,
+        )
+        # temporal first conv has 2 input channels
+        assert loaded["params"]["temporal"]["conv1_1"]["kernel"].shape[2] == 2
+        # decoder untouched
+        new_decoder = jax.tree_util.tree_leaves(loaded["params"]["decoder"])
+        for a, b in zip(old_decoder, new_decoder):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # and the loaded model still runs
+        sal, feat = sp.apply(
+            loaded, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 2))
+        )
+        assert np.isfinite(np.asarray(sal)).all()

@@ -137,3 +137,29 @@ class TestFixationOnsetGating:
             )
         ]
         assert any(changed)
+
+
+class TestFlowScalePreset:
+    def test_half_grid_flow_runs_and_matches_shapes(self, setup):
+        """Production preset (flow solved at half the model grid) must
+        produce the same output shapes and finite values."""
+        import dataclasses
+
+        pipeline, _, frames, _, fixsac = setup
+        cfg = dataclasses.replace(
+            pipeline.config,
+            tvl1=dataclasses.replace(pipeline.config.tvl1, flow_scale=0.5),
+        )
+        p2 = GazePipeline(cfg)
+        variables = p2.init_variables(jax.random.key(0))
+        state = p2.init_state(1)
+        state, out = p2.step(
+            variables,
+            state,
+            jnp.asarray(frames[0:1]),
+            jnp.asarray(frames[1:2]),
+            jnp.ones((1,)),
+        )
+        assert out["heatmap"].shape == (1, 32, 32)
+        for k in ("saliency", "attention", "heatmap"):
+            assert np.isfinite(np.asarray(out[k])).all()
