@@ -31,7 +31,7 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", 128)))
     p.add_argument("--frames", type=int, default=int(os.environ.get("BENCH_FRAMES", 8)))
     p.add_argument("--repeats", type=int, default=3)
-    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--flow_scale", type=float, default=0.5,
                    help="production serving preset solves TV-L1 at this "
