@@ -163,10 +163,11 @@ def run_train_sp(args, cfg, pipeline, mesh) -> Dict:
             state, metrics = step_fn(state, batch)
             step_no = int(state.step)
             logger.log(step_no, metrics)
-            # Crash-resilience: periodic checkpoints (the reference loses
-            # everything past the last epoch save — SURVEY.md §5).
+            # Crash-resilience: periodic ASYNC checkpoints — serialization
+            # overlaps training (the reference loses everything past the
+            # last blocking epoch save — SURVEY.md §5).
             if args.ckpt_every and step_no % args.ckpt_every == 0:
-                save_checkpoint(ckpt_dir, step_no, jax.device_get(state))
+                save_checkpoint(ckpt_dir, step_no, jax.device_get(state), block=False)
             if eval_fn is not None and step_no % args.eval_every == 0:
                 vb = next(iter(_batches(args, cfg, train=False)))
                 m = eval_fn(state, vb)

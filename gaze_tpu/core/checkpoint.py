@@ -22,12 +22,38 @@ def _mngr(directory: str) -> ocp.CheckpointManager:
     )
 
 
-def save_checkpoint(directory: str, step: int, state: Any) -> None:
-    """Save a pytree (params/opt state/step) at ``directory/step``."""
-    mngr = _mngr(directory)
+# Kept open between async saves so serialization overlaps training; the
+# reference's torch.save blocks the train loop for the full write.
+_async_mngrs: dict = {}
+
+
+def save_checkpoint(directory: str, step: int, state: Any, block: bool = True) -> None:
+    """Save a pytree (params/opt state/step) at ``directory/step``.
+
+    With ``block=False`` the write happens on Orbax's background thread
+    (SURVEY.md §5 "Orbax async checkpointing every N steps"): the device
+    arrays are snapshotted immediately, the train loop continues, and
+    the manager is kept open so a later save/finalize joins the write.
+    """
+    key = os.path.abspath(directory)
+    if not block:
+        mngr = _async_mngrs.get(key)
+        if mngr is None:
+            mngr = _async_mngrs[key] = _mngr(key)
+        mngr.save(step, args=ocp.args.StandardSave(state))
+        return
+    mngr = _async_mngrs.pop(key, None) or _mngr(key)
     mngr.save(step, args=ocp.args.StandardSave(state))
     mngr.wait_until_finished()
     mngr.close()
+
+
+def finalize_checkpoints() -> None:
+    """Join all in-flight async saves (call at stage end / shutdown)."""
+    for mngr in _async_mngrs.values():
+        mngr.wait_until_finished()
+        mngr.close()
+    _async_mngrs.clear()
 
 
 def latest_step(directory: str) -> Optional[int]:

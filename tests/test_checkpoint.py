@@ -37,3 +37,25 @@ class TestCheckpoint:
         assert latest_step(d) == 3
         out = restore_checkpoint(d, {"v": jnp.asarray(0.0)})
         assert float(out["v"]) == 3.0
+
+
+class TestAsyncCheckpoint:
+    def test_async_then_blocking_roundtrip(self, tmp_path):
+        from gaze_tpu.core.checkpoint import finalize_checkpoints
+
+        d = str(tmp_path / "ckpt")
+        # periodic async saves, then a blocking stage-end save
+        for s in (1, 2):
+            save_checkpoint(d, s, {"v": jnp.asarray(float(s))}, block=False)
+        save_checkpoint(d, 3, {"v": jnp.asarray(3.0)})  # blocking, joins
+        out = restore_checkpoint(d, {"v": jnp.asarray(0.0)})
+        assert float(out["v"]) == 3.0
+        assert latest_step(d) == 3
+
+    def test_finalize_joins_inflight(self, tmp_path):
+        from gaze_tpu.core.checkpoint import finalize_checkpoints
+
+        d = str(tmp_path / "ckpt2")
+        save_checkpoint(d, 5, {"v": jnp.asarray(5.0)}, block=False)
+        finalize_checkpoints()
+        assert latest_step(d) == 5

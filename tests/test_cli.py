@@ -32,7 +32,9 @@ ARGS_COMMON = [
 
 class TestCLIStages:
     def test_train_sp(self, save_dir):
-        run_cli(["--train_sp", "--save_dir", save_dir] + ARGS_COMMON)
+        # --ckpt_every 2 exercises the periodic async checkpoint path
+        run_cli(["--train_sp", "--save_dir", save_dir, "--ckpt_every", "2"]
+                + ARGS_COMMON)
         assert os.path.isdir(os.path.join(save_dir, "sp"))
 
     def test_full_pipeline_sequence(self, save_dir):
