@@ -138,6 +138,18 @@ class CameraConfig:
     # Horizontal field of view, degrees.
     fov_x_deg: float = 74.0
 
+    @staticmethod
+    def gtea_gaze_plus() -> "CameraConfig":
+        """GTEA Gaze+ capture geometry (the default)."""
+        return CameraConfig()
+
+    @staticmethod
+    def gtea_gaze() -> "CameraConfig":
+        """GTEA Gaze (original) capture geometry: Tobii eye-tracker scene
+        camera, 640x480 [U — re-verify against ref:utils.py when the
+        mount appears; the reference reports both datasets]."""
+        return CameraConfig(native_width=640, native_height=480, fov_x_deg=64.0)
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:

@@ -89,3 +89,20 @@ class TestLosses:
         a = jnp.asarray([[1.0, 2.0]])
         b = jnp.asarray([[1.0, 4.0]])
         np.testing.assert_allclose(float(mse(a, b)), 2.0)
+
+
+class TestCameraPresets:
+    def test_gtea_gaze_plus_default(self):
+        assert CameraConfig.gtea_gaze_plus() == CameraConfig()
+
+    def test_gtea_gaze_geometry(self):
+        cam = CameraConfig.gtea_gaze()
+        assert (cam.native_width, cam.native_height) == (640, 480)
+        # same pixel offset reads as a larger angle on the narrower camera
+        import jax.numpy as jnp
+        pts_a = jnp.asarray([[112.0, 112.0]])
+        pts_b = jnp.asarray([[122.0, 112.0]])
+        hm_b = render_gaussian(pts_b, 224, 224, sigma=1.0)
+        e_plus = float(aae(hm_b, pts_a, CameraConfig.gtea_gaze_plus())[0])
+        e_gaze = float(aae(hm_b, pts_a, cam)[0])
+        assert e_gaze > 0 and e_plus > 0
