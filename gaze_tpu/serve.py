@@ -47,6 +47,9 @@ class StreamServer:
         self._prev = jnp.zeros((max_streams, h, w, 3), jnp.uint8)
         self._active = np.zeros((max_streams,), bool)
         self._seen_first = np.zeros((max_streams,), bool)
+        # submit() pipeline: the frame whose H2D is in flight + its bits.
+        self._pending = None
+        self._pending_fix = None
 
     # ------------------------------------------------------- control ----
     def attach(self, slot: int) -> None:
@@ -116,4 +119,35 @@ class StreamServer:
         if self.keep_heatmaps:
             for k in ("heatmap", "saliency", "attention"):
                 result[k] = np.asarray(out[k])
+        return result
+
+    def submit(self, frames: np.ndarray, fixations: Optional[np.ndarray] = None):
+        """Pipelined tick: overlap this frame's H2D with the previous
+        frame's compute.
+
+        ``submit(f_t)`` starts the (async) host-to-device transfer of
+        ``f_t``, then advances every stream by the frame submitted on the
+        PREVIOUS call (already device-resident) and returns its results —
+        i.e. results lag one submit. Returns None on the first call.
+
+        Why: a tick must wait for its own 19 MB (at 128 streams) H2D
+        before computing; the one-frame pipeline hides the transfer
+        behind the previous frame's step, which is how a production host
+        keeps PCIe and the chip busy simultaneously.
+        """
+        new_dev = jax.device_put(jnp.asarray(frames))  # async H2D
+        result = None
+        if self._pending is not None:
+            result = self.tick(self._pending, self._pending_fix)
+        self._pending = new_dev
+        self._pending_fix = fixations
+        return result
+
+    def flush(self):
+        """Drain the submit() pipeline: process the last pending frame."""
+        if self._pending is None:
+            return None
+        result = self.tick(self._pending, self._pending_fix)
+        self._pending = None
+        self._pending_fix = None
         return result

@@ -73,3 +73,29 @@ class TestStreamServer:
         out = srv.tick(frames[2:3])
         # fresh slot: first-frame sentinel again
         assert tuple(out["gaze"][0]) == (-1.0, -1.0)
+
+
+class TestPipelinedSubmit:
+    def test_submit_lags_tick_by_one(self, served):
+        cfg, variables, frames, fixsac = served
+        srv_t = StreamServer(cfg, variables, max_streams=1)
+        srv_s = StreamServer(cfg, variables, max_streams=1)
+        srv_t.attach(0)
+        srv_s.attach(0)
+
+        tick_results = [
+            srv_t.tick(frames[t : t + 1], fixsac[t : t + 1])
+            for t in range(len(frames))
+        ]
+        sub_results = [
+            srv_s.submit(frames[t : t + 1], fixsac[t : t + 1])
+            for t in range(len(frames))
+        ]
+        assert sub_results[0] is None
+        for t in range(1, len(frames)):
+            np.testing.assert_allclose(
+                sub_results[t]["gaze"], tick_results[t - 1]["gaze"]
+            )
+        last = srv_s.flush()
+        np.testing.assert_allclose(last["gaze"], tick_results[-1]["gaze"])
+        assert srv_s.flush() is None
