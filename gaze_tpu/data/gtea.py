@@ -91,11 +91,16 @@ def build_manifest(root: str, native_hw: Tuple[int, int] = (720, 960)) -> GTEAMa
         names = sorted(os.listdir(vdir))
         gaze = _read_gaze_txt(os.path.join(root, "gaze", v + ".txt"))
         fixsac_path = os.path.join(root, "fixsac", v + ".txt")
-        fixsac = (
-            _read_fixsac_txt(fixsac_path)
-            if os.path.exists(fixsac_path)
-            else np.ones((len(names),), np.float32)
-        )
+        if os.path.exists(fixsac_path):
+            fixsac = _read_fixsac_txt(fixsac_path)
+        elif len(gaze):
+            # No eye-tracker segmentation shipped: derive labels from
+            # the raw gaze with I-DT dispersion (data/fixation.py).
+            from gaze_tpu.data.fixation import detect_fixations_idt
+
+            fixsac = detect_fixations_idt(gaze)
+        else:
+            fixsac = np.ones((len(names),), np.float32)
         recs = []
         n = min(len(names), len(gaze), len(fixsac))
         for i in range(n):
