@@ -96,7 +96,9 @@ class ATConfig:
     feature_dim: int = 512
     hidden_size: int = 512
     num_layers: int = 1
-    # ROI half-width (in 14x14 feature cells) for fixation pooling.
+    # ROI width in feature cells for fixation pooling: fixation_pool
+    # averages a roi_size x roi_size window (3 -> 3x3 cells on the 14x14
+    # conv5 grid) centered on the gaze point.
     roi_size: int = 3
     # conv5 stride relative to input pixels (224/14).
     feature_stride: int = 16

@@ -33,10 +33,19 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _lib_failed:
             return _lib
         try:
-            if not os.path.exists(_LIB_PATH):
+            # Rebuild when missing OR stale: the library is built with
+            # -march=native and is .gitignored, so a stale binary (edited
+            # source, different CPU) must never silently shadow the source.
+            src_dir = os.path.abspath(_NATIVE_DIR)
+            deps = [os.path.join(src_dir, f) for f in ("gaze_io.cpp", "Makefile")]
+            stale = not os.path.exists(_LIB_PATH) or any(
+                os.path.exists(d) and os.path.getmtime(d) > os.path.getmtime(_LIB_PATH)
+                for d in deps
+            )
+            if stale:
                 subprocess.run(
-                    ["make", "-s"],
-                    cwd=os.path.abspath(_NATIVE_DIR),
+                    ["make", "-s", "-B"],
+                    cwd=src_dir,
                     check=True,
                     capture_output=True,
                     timeout=120,

@@ -36,17 +36,47 @@ class StreamServer:
         max_streams: int,
         dtype=jnp.float32,
         keep_heatmaps: bool = False,
+        fixation_source: str = "idt",
+        idt_dispersion_px: float = 8.0,
+        idt_window: int = 3,
     ):
+        """Args (beyond the obvious):
+
+        fixation_source: what drives the AT LSTM's fixation gating when a
+          tick supplies no fixation bits (an explicit ``fixations`` arg
+          always wins):
+          - "idt": online I-DT dispersion detection on each stream's own
+            predicted gaze track (the serving-time analogue of
+            ``data/fixation.py``) — a new fixation after a saccade fires
+            an LSTM onset, so attention keeps updating for the stream's
+            lifetime.
+          - "always": every frame flagged as fixation. NOTE: the pipeline
+            gates the LSTM on fixation *onset* (fix * (1 - prev_fix)), so
+            this mode advances the LSTM exactly once per stream and the
+            attention weights stay frozen afterwards — only useful as a
+            deliberate "static attention" mode.
+        idt_dispersion_px: max (x-extent + y-extent) of a fixation window,
+          in model-grid pixels (default tuned for 224x224; data/fixation.py
+          uses 25 px at 960-wide native resolution, 25 * 224/960 ~ 6-8 px).
+        idt_window: trailing predicted-gaze frames a fixation must span.
+        """
+        if fixation_source not in ("idt", "always"):
+            raise ValueError(f"unknown fixation_source {fixation_source!r}")
         self.pipeline = GazePipeline(config, dtype=dtype)
         self.variables = variables
         self.max_streams = max_streams
         self.keep_heatmaps = keep_heatmaps
+        self.fixation_source = fixation_source
+        self._idt_dispersion = idt_dispersion_px
+        self._idt_window = idt_window
         self._step = make_step_fn(self.pipeline)
         h, w = config.image.height, config.image.width
         self._state = self.pipeline.init_state(max_streams)
         self._prev = jnp.zeros((max_streams, h, w, 3), jnp.uint8)
         self._active = np.zeros((max_streams,), bool)
         self._seen_first = np.zeros((max_streams,), bool)
+        # Trailing predicted-gaze window for online I-DT (NaN = no sample).
+        self._gaze_hist = np.full((max_streams, idt_window, 2), np.nan, np.float32)
         # submit() pipeline: the frame whose H2D is in flight + its bits.
         self._pending = None
         self._pending_fix = None
@@ -56,6 +86,7 @@ class StreamServer:
         """Claim a stream slot; its recurrent state starts fresh."""
         self._active[slot] = True
         self._seen_first[slot] = False
+        self._gaze_hist[slot] = np.nan
         self._reset_slot(slot)
 
     def detach(self, slot: int) -> None:
@@ -63,6 +94,22 @@ class StreamServer:
 
     def active_slots(self) -> np.ndarray:
         return np.flatnonzero(self._active)
+
+    def _idt_labels(self) -> np.ndarray:
+        """Per-slot fixation bits from the trailing predicted-gaze window.
+
+        A slot is "in fixation" when its last ``idt_window`` predictions
+        exist and their dispersion (x-extent + y-extent, the I-DT measure
+        of ``data/fixation.py``) stays under the threshold. The pipeline's
+        onset gating (fix * (1 - prev_fix)) then advances the LSTM exactly
+        once per detected fixation — the §3.4 "if new fixation" semantics
+        without an external eye-tracker stream.
+        """
+        g = self._gaze_hist
+        full = ~np.isnan(g).any(axis=(1, 2))
+        ext = np.nan_to_num(g.max(axis=1) - g.min(axis=1), nan=np.inf)
+        disp = ext[:, 0] + ext[:, 1]
+        return (full & (disp <= self._idt_dispersion)).astype(np.float32)
 
     def _reset_slot(self, slot: int) -> None:
         fresh = self.pipeline.init_state(1)
@@ -81,9 +128,10 @@ class StreamServer:
         Args:
           frames: (max_streams, H, W, 3) uint8 — current frame per slot
             (inactive slots' content is ignored).
-          fixations: optional (max_streams,) fixation bits; default 1
-            (every frame treated as fixation — self-running mode when no
-            eye-tracker segmentation stream exists).
+          fixations: optional (max_streams,) fixation bits; when None the
+            server derives them per ``fixation_source`` (online I-DT on
+            the predicted gaze track by default — self-running mode when
+            no eye-tracker segmentation stream exists).
 
         Returns:
           dict with "gaze" (S, 2) float32 and, when keep_heatmaps,
@@ -91,7 +139,10 @@ class StreamServer:
           first frame return gaze (-1, -1) (no frame pair for flow yet).
         """
         if fixations is None:
-            fixations = np.ones((self.max_streams,), np.float32)
+            if self.fixation_source == "idt":
+                fixations = self._idt_labels()
+            else:  # "always" — static-attention mode (one LSTM onset ever)
+                fixations = np.ones((self.max_streams,), np.float32)
         cur = jnp.asarray(frames)
         fix = jnp.asarray(fixations, jnp.float32) * jnp.asarray(
             self._active, jnp.float32
@@ -114,6 +165,11 @@ class StreamServer:
         gaze[np.asarray(first)] = -1.0
         gaze[~self._active] = -1.0
         self._seen_first |= self._active
+
+        # Slide the I-DT window: sentinel/inactive frames stay NaN so they
+        # can never complete a fixation window.
+        self._gaze_hist = np.roll(self._gaze_hist, -1, axis=1)
+        self._gaze_hist[:, -1] = np.where(gaze[:, :1] < 0, np.nan, gaze)
 
         result = {"gaze": gaze}
         if self.keep_heatmaps:

@@ -57,9 +57,19 @@ def main() -> int:
     pipeline = GazePipeline(cfg, dtype=jnp.float32)
     variables = pipeline.init_variables(jax.random.key(args.seed))
     if args.sp_ckpt:
+        # CLI checkpoints store the full TrainState pytree (step/params/
+        # batch_stats/opt_state), so restore into the same template the
+        # trainer saves (cli.py's restore path) and peel the variables off.
         from gaze_tpu.core.checkpoint import restore_checkpoint
+        from gaze_tpu.train.sp import create_sp_state
 
-        variables["sp"] = restore_checkpoint(args.sp_ckpt, variables["sp"])
+        state = restore_checkpoint(
+            args.sp_ckpt, create_sp_state(jax.random.key(args.seed), pipeline)
+        )
+        variables["sp"] = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+        }
 
     frames, _, fixsac = generate_sequence(
         SyntheticSpec(
