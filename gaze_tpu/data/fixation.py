@@ -21,6 +21,7 @@ def detect_fixations_idt(
     gaze: np.ndarray,
     dispersion_px: float = 25.0,
     min_duration: int = 3,
+    valid: np.ndarray | None = None,
 ) -> np.ndarray:
     """I-DT fixation labeling.
 
@@ -28,12 +29,30 @@ def detect_fixations_idt(
       gaze: (T, 2) gaze points in pixels (native resolution).
       dispersion_px: max (x-extent + y-extent) of a fixation window.
       min_duration: minimum fixation length in frames.
+      valid: optional (T,) bool — untracked frames. Invalid frames are
+        always labeled saccade and split fixation windows, so garbage
+        coordinates can neither seed nor extend a fixation.
 
     Returns:
       (T,) float32 labels: 1.0 fixation, 0.0 saccade — the reference's
       fixsac format.
     """
     gaze = np.asarray(gaze, dtype=np.float64)
+    if valid is not None:
+        valid = np.asarray(valid, bool)
+        labels = np.zeros((len(gaze),), np.float32)
+        # Run I-DT independently on each contiguous tracked run.
+        start = None
+        for t in range(len(gaze) + 1):
+            if t < len(gaze) and valid[t]:
+                if start is None:
+                    start = t
+            elif start is not None:
+                labels[start:t] = detect_fixations_idt(
+                    gaze[start:t], dispersion_px, min_duration
+                )
+                start = None
+        return labels
     T = len(gaze)
     labels = np.zeros((T,), np.float32)
 

@@ -87,6 +87,32 @@ def generate_sequence(spec: SyntheticSpec) -> Tuple[np.ndarray, np.ndarray, np.n
     return frames, gaze, fixsac
 
 
+def clip_iterator(
+    spec: SyntheticSpec,
+    batch_size: int,
+    clip_len: int,
+    num_batches: int,
+    seed: int = 0,
+) -> Iterator[dict]:
+    """Yield contiguous-clip batches for rollout-mode LF training:
+    frames (B, clip_len+1, H, W, 3) — index 0 seeds the flow pair —
+    with per-frame gaze/fixsac/valid aligned to frames[1:]'s labels."""
+    frames, gaze, fixsac = generate_sequence(dataclasses.replace(spec, seed=seed))
+    T = frames.shape[0]
+    if T < clip_len + 1:
+        raise ValueError(f"need >= {clip_len + 1} frames, have {T}")
+    rng = np.random.default_rng(seed + 1)
+    for _ in range(num_batches):
+        starts = rng.integers(0, T - clip_len, size=batch_size)
+        idx = starts[:, None] + np.arange(clip_len + 1)[None, :]
+        yield {
+            "frames": frames[idx],
+            "gaze": gaze[idx],
+            "fixsac": fixsac[idx],
+            "valid": np.ones((batch_size, clip_len + 1), np.float32),
+        }
+
+
 def batch_iterator(
     spec: SyntheticSpec, batch_size: int, num_batches: int, seed: int = 0
 ) -> Iterator[dict]:
@@ -108,4 +134,7 @@ def batch_iterator(
             "cur": frames[idx],
             "gaze": gaze[idx],
             "fixsac": fixsac[idx],
+            # Synthetic gaze is always tracked; key kept so jit signatures
+            # match the GTEA loader's (which masks untracked frames).
+            "valid": np.ones((batch_size,), np.float32),
         }

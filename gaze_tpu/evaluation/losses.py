@@ -15,7 +15,10 @@ from gaze_tpu.core.config import LossConfig
 
 
 def floss(
-    pred: jnp.ndarray, target: jnp.ndarray, cfg: LossConfig | None = None
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    cfg: LossConfig | None = None,
+    sample_weight: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Focal BCE between predicted and target heatmaps.
 
@@ -24,6 +27,10 @@ def floss(
       target: (B, H, W) ground-truth heatmaps in [0, 1] (soft Gaussian
         targets — treated as per-pixel Bernoulli probabilities).
       cfg: loss knobs (gamma, eps).
+      sample_weight: optional (B,) per-frame weights — 0.0 drops a frame
+        entirely (untracked-gaze masking); the mean renormalizes over the
+        surviving frames so a batch of mostly-invalid frames doesn't
+        shrink the gradient.
 
     Returns:
       scalar mean loss.
@@ -33,7 +40,12 @@ def floss(
     t = target
     pos = -t * ((1.0 - p) ** cfg.gamma) * jnp.log(p)
     neg = -(1.0 - t) * (p ** cfg.gamma) * jnp.log(1.0 - p)
-    return jnp.mean(pos + neg)
+    per_px = pos + neg
+    if sample_weight is None:
+        return jnp.mean(per_px)
+    w = sample_weight.astype(per_px.dtype)
+    per_frame = jnp.mean(per_px, axis=(1, 2))
+    return jnp.sum(per_frame * w) / (jnp.sum(w) + 1e-8)
 
 
 def bce(pred: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:

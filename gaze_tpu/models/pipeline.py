@@ -37,6 +37,7 @@ from gaze_tpu.models.lf import LateFusion
 from gaze_tpu.models.sp import SPNet
 from gaze_tpu.ops.heatmap import heatmap_argmax
 from gaze_tpu.ops.preprocess import (
+    normalize_flow_image,
     normalize_rgb,
     prepare_temporal_input,
     resize_frames,
@@ -90,7 +91,10 @@ class GazePipeline:
 
     # ------------------------------------------------------- preproc ----
     def preprocess_pair(
-        self, prev_u8: jnp.ndarray, cur_u8: jnp.ndarray
+        self,
+        prev_u8: jnp.ndarray,
+        cur_u8: jnp.ndarray,
+        flow_img: jnp.ndarray | None = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """uint8 frame pair -> (normalized rgb, normalized flow input).
 
@@ -98,10 +102,25 @@ class GazePipeline:
         the model grid (the reference computes flow at native res then
         resizes the flow JPEG; doing it at 224^2 is the deliberate
         TPU-side choice — 18x fewer solver FLOPs, same model statistics
-        after quantization-equivalent clipping)."""
+        after quantization-equivalent clipping).
+
+        flow_img: optional (B, h, w, 2) uint8 precomputed dense_flow
+          JPEGs (strict-parity mode, ref:data/STdatas.py [M]). When given,
+          the TV-L1 solve is skipped and the quantized flow is treated
+          exactly as the reference treats it — as an *image*: bilinear
+          resize to the model grid, then the temporal normalization
+          (values are NOT rescaled by the resize ratio, because the
+          reference resizes the JPEG as pixels, not as displacements)."""
         cfg = self.config
-        prev = resize_frames(to_float(prev_u8), cfg.image.height, cfg.image.width)
         cur = resize_frames(to_float(cur_u8), cfg.image.height, cfg.image.width)
+        if flow_img is not None:
+            q = resize_frames(
+                to_float(flow_img), cfg.image.height, cfg.image.width
+            )
+            flow_in = normalize_flow_image(q)
+            rgb_in = normalize_rgb(cur, cfg.image)
+            return rgb_in.astype(self.dtype), flow_in.astype(self.dtype)
+        prev = resize_frames(to_float(prev_u8), cfg.image.height, cfg.image.width)
         g0, g1 = rgb_to_gray(prev), rgb_to_gray(cur)
         if cfg.tvl1.flow_scale != 1.0:
             # Production preset: solve at a reduced grid, upsample the
@@ -134,6 +153,7 @@ class GazePipeline:
         cur_u8: jnp.ndarray,
         fixation: jnp.ndarray,
         gaze_xy: jnp.ndarray | None = None,
+        flow_img: jnp.ndarray | None = None,
     ) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
         """One fused per-frame step over B independent streams.
 
@@ -144,13 +164,15 @@ class GazePipeline:
           gaze_xy: optional (B, 2) teacher gaze for feature pooling
             (training-time extraction); None -> pool at SP's argmax
             (self-sufficient inference).
+          flow_img: optional (B, h, w, 2) uint8 precomputed flow image
+            (strict-parity input path — see preprocess_pair).
 
         Returns:
           (new_state, outputs) with saliency/attention/final heatmaps and
           the decoded gaze point.
         """
         cfg = self.config
-        rgb_in, flow_in = self.preprocess_pair(prev_u8, cur_u8)
+        rgb_in, flow_in = self.preprocess_pair(prev_u8, cur_u8, flow_img)
         sal, feat = self.sp.apply(variables["sp"], rgb_in, flow_in)
 
         pool_pt = heatmap_argmax(sal) if gaze_xy is None else gaze_xy
@@ -184,7 +206,12 @@ class GazePipeline:
 
 
 def make_step_fn(pipeline: GazePipeline) -> Callable:
-    """jit-compiled single-frame step (donates the stream state)."""
+    """jit-compiled single-frame step.
+
+    The stream state is deliberately NOT donated: StreamServer.tick
+    reuses its pre-step ``self._state`` after the call (first-frame
+    revert), so donation would hand XLA a buffer the host still reads.
+    """
 
     @jax.jit
     def step_fn(variables, state, prev_u8, cur_u8, fixation):

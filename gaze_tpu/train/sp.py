@@ -36,7 +36,9 @@ def make_sp_train_step(pipeline: GazePipeline, mesh: Optional[Mesh] = None):
     cfg = pipeline.config
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> Tuple[TrainState, Dict]:
-        rgb_in, flow_in = pipeline.preprocess_pair(batch["prev"], batch["cur"])
+        rgb_in, flow_in = pipeline.preprocess_pair(
+            batch["prev"], batch["cur"], batch.get("flow_img")
+        )
         target = render_gaussian(
             batch["gaze"], cfg.image.height, cfg.image.width, cfg.image.heatmap_sigma
         )
@@ -49,7 +51,12 @@ def make_sp_train_step(pipeline: GazePipeline, mesh: Optional[Mesh] = None):
                 train=True,
                 mutable=["batch_stats"],
             )
-            return floss(sal, target, cfg.loss), updates["batch_stats"]
+            # Untracked-gaze frames carry no supervision signal (their
+            # rendered target is garbage) — masked out of the loss.
+            return (
+                floss(sal, target, cfg.loss, sample_weight=batch.get("valid")),
+                updates["batch_stats"],
+            )
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
@@ -64,7 +71,9 @@ def make_sp_eval_step(pipeline: GazePipeline, mesh: Optional[Mesh] = None):
     cfg = pipeline.config
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-        rgb_in, flow_in = pipeline.preprocess_pair(batch["prev"], batch["cur"])
+        rgb_in, flow_in = pipeline.preprocess_pair(
+            batch["prev"], batch["cur"], batch.get("flow_img")
+        )
         sal, _ = pipeline.sp.apply(
             {"params": state.params, "batch_stats": state.batch_stats}, rgb_in, flow_in
         )
@@ -85,7 +94,9 @@ def extract_fixation_weights(pipeline: GazePipeline):
 
     @jax.jit
     def extract(sp_variables: Any, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-        rgb_in, flow_in = pipeline.preprocess_pair(batch["prev"], batch["cur"])
+        rgb_in, flow_in = pipeline.preprocess_pair(
+            batch["prev"], batch["cur"], batch.get("flow_img")
+        )
         _, feat = pipeline.sp.apply(sp_variables, rgb_in, flow_in)
         return fixation_pool(feat, batch["gaze"], pipeline.config.at)
 

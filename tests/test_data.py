@@ -107,6 +107,179 @@ class TestGTEAManifest:
             build_manifest(str(tmp_path / "nope"))
 
 
+class TestPrecomputedFlow:
+    """Strict-parity mode: dense_flow JPEGs under flows/ are decoded into
+    the batch and consumed by the SP temporal stream (no TV-L1 solve)."""
+
+    def _make_root(self, tmp_path, layout: str) -> str:
+        from PIL import Image
+
+        root = tmp_path / "gtea"
+        video = "Dan_Toast"
+        vdir = root / "images" / video
+        fdir = root / "flows" / video
+        vdir.mkdir(parents=True)
+        fdir.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i in range(4):
+            Image.fromarray(
+                rng.integers(0, 255, (24, 32, 3), np.uint8)
+            ).save(vdir / f"{i:06d}.jpg")
+            fx = np.full((24, 32), 128 + 10 * i, np.uint8)  # distinct per frame
+            fy = np.full((24, 32), 128 - 10 * i, np.uint8)
+            if layout == "packed":
+                packed = np.stack([fx, fy, np.zeros_like(fx)], -1)
+                Image.fromarray(packed).save(fdir / f"{i:06d}.jpg")
+            else:
+                Image.fromarray(fx, "L").save(fdir / f"flow_x_{i:06d}.jpg")
+                Image.fromarray(fy, "L").save(fdir / f"flow_y_{i:06d}.jpg")
+        (root / "gaze").mkdir()
+        with open(root / "gaze" / f"{video}.txt", "w") as f:
+            f.write("10 12\n" * 4)
+        (root / "fixsac").mkdir()
+        with open(root / "fixsac" / f"{video}.txt", "w") as f:
+            f.write("1\n" * 4)
+        return str(root)
+
+    @pytest.mark.parametrize("layout", ["packed", "split"])
+    def test_batches_carry_flow(self, tmp_path, layout):
+        m = build_manifest(self._make_root(tmp_path, layout))
+        b = next(pair_batches(m.frames["Dan_Toast"], 3, (32, 32), shuffle=False))
+        assert b["flow_img"].shape == (3, 24, 32, 2)
+        assert b["flow_img"].dtype == np.uint8
+        # pairs (0,1),(1,2),(2,3) -> flow of the CUR frame (i=1,2,3);
+        # JPEG is lossy so allow a few gray levels of slack on the flats.
+        for k, i in enumerate([1, 2, 3]):
+            assert abs(int(b["flow_img"][k, 12, 16, 0]) - (128 + 10 * i)) <= 3
+            assert abs(int(b["flow_img"][k, 12, 16, 1]) - (128 - 10 * i)) <= 3
+
+    def test_pipeline_consumes_external_flow(self, tmp_path):
+        """preprocess_pair must feed the decoded flow image (resized +
+        normalized, no TV-L1) to the temporal stream."""
+        import jax.numpy as jnp
+
+        from gaze_tpu.models.pipeline import GazePipeline
+        from gaze_tpu.ops.preprocess import (
+            normalize_flow_image,
+            resize_frames,
+            to_float,
+        )
+        from tests.test_train import tiny_config
+
+        cfg = tiny_config()
+        pipeline = GazePipeline(cfg)
+        rng = np.random.default_rng(1)
+        prev = rng.integers(0, 255, (2, 24, 32, 3), np.uint8)
+        cur = rng.integers(0, 255, (2, 24, 32, 3), np.uint8)
+        flow = rng.integers(0, 255, (2, 24, 32, 2), np.uint8)
+        _, flow_in = pipeline.preprocess_pair(
+            jnp.asarray(prev), jnp.asarray(cur), jnp.asarray(flow)
+        )
+        expect = normalize_flow_image(
+            resize_frames(to_float(jnp.asarray(flow)),
+                          cfg.image.height, cfg.image.width)
+        )
+        np.testing.assert_allclose(np.asarray(flow_in), np.asarray(expect),
+                                   atol=1e-6)
+        # and the no-flow path is genuinely different (TV-L1 ran)
+        _, solved = pipeline.preprocess_pair(jnp.asarray(prev), jnp.asarray(cur))
+        assert not np.allclose(np.asarray(solved), np.asarray(flow_in))
+
+    def test_forced_on_without_files_raises(self, tmp_path):
+        from tests.test_data import TestGTEAManifest  # reuse plain layout
+
+        root = tmp_path / "gtea"
+        from PIL import Image
+
+        vdir = root / "images" / "Eve_Soup"
+        vdir.mkdir(parents=True)
+        for i in range(3):
+            Image.new("RGB", (32, 24)).save(vdir / f"{i:06d}.jpg")
+        (root / "gaze").mkdir()
+        with open(root / "gaze" / "Eve_Soup.txt", "w") as f:
+            f.write("10 12\n" * 3)
+        (root / "fixsac").mkdir()
+        with open(root / "fixsac" / "Eve_Soup.txt", "w") as f:
+            f.write("1\n" * 3)
+        m = build_manifest(str(root))
+        with pytest.raises(FileNotFoundError):
+            next(pair_batches(m.frames["Eve_Soup"], 2, (32, 32),
+                              use_precomputed_flow=True))
+
+
+class TestGazeValidity:
+    """Untracked gaze rows (zeros / NaN / out-of-frame / garbage) must be
+    flagged invalid — and stay in place so frame indices never desync."""
+
+    @pytest.fixture()
+    def corrupted_root(self, tmp_path):
+        from PIL import Image
+
+        root = tmp_path / "gtea"
+        video = "Carol_Salad"
+        vdir = root / "images" / video
+        vdir.mkdir(parents=True)
+        for i in range(6):
+            Image.new("RGB", (32, 24), (i * 10, 0, 0)).save(vdir / f"{i:06d}.jpg")
+        (root / "gaze").mkdir()
+        with open(root / "gaze" / f"{video}.txt", "w") as f:
+            f.write("10 12\n")        # valid
+            f.write("0 0\n")          # untracked sentinel
+            f.write("nan nan\n")      # lost track
+            f.write("-5 12\n")        # out of frame (native 960x720 default)
+            f.write("garbage\n")      # unparsable
+            f.write("11 13\n")        # valid
+        (root / "fixsac").mkdir()
+        with open(root / "fixsac" / f"{video}.txt", "w") as f:
+            f.write("1\n1\n1\n1\n1\n1\n")
+        return str(root)
+
+    def test_validity_flags(self, corrupted_root):
+        m = build_manifest(corrupted_root)
+        recs = m.frames["Carol_Salad"]
+        assert len(recs) == 6  # garbage rows keep their slots
+        assert [r.gaze_valid for r in recs] == [True, False, False, False, False, True]
+
+    def test_pair_batches_emit_valid(self, corrupted_root):
+        m = build_manifest(corrupted_root)
+        batches = list(
+            pair_batches(m.frames["Carol_Salad"], 5, (64, 64), shuffle=False)
+        )
+        b = batches[0]
+        # pairs are (0,1)..(4,5); validity follows the *cur* frame
+        np.testing.assert_array_equal(b["valid"], [0, 0, 0, 0, 1])
+
+    def test_masked_loss_ignores_garbage_frames(self):
+        """floss with validity weights == floss on the clean subset, so
+        garbage targets cannot perturb training."""
+        import jax.numpy as jnp
+
+        from gaze_tpu.evaluation.losses import floss
+
+        rng = np.random.default_rng(0)
+        pred = jnp.asarray(rng.uniform(0.01, 0.99, (4, 8, 8)), jnp.float32)
+        target = jnp.asarray(rng.uniform(0, 1, (4, 8, 8)), jnp.float32)
+        garbage = target.at[1].set(1e6).at[3].set(-1e6)
+        valid = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+        masked = floss(pred, garbage, sample_weight=valid)
+        clean = floss(pred[jnp.array([0, 2])], target[jnp.array([0, 2])])
+        np.testing.assert_allclose(float(masked), float(clean), rtol=1e-6)
+
+    def test_idt_skips_invalid(self):
+        from gaze_tpu.data.fixation import detect_fixations_idt
+
+        # A steady fixation interrupted by untracked junk that would
+        # otherwise read as a huge dispersion.
+        gaze = np.array([[10, 10]] * 4 + [[9999, -40]] + [[10, 10]] * 4, np.float32)
+        valid = np.array([1, 1, 1, 1, 0, 1, 1, 1, 1], bool)
+        labels = detect_fixations_idt(gaze, dispersion_px=5.0, min_duration=3,
+                                      valid=valid)
+        np.testing.assert_array_equal(labels, [1, 1, 1, 1, 0, 1, 1, 1, 1])
+        # Without the mask the junk frame splits nothing and pollutes
+        # dispersion; with it the invalid frame is always a saccade.
+        assert labels[4] == 0.0
+
+
 class TestWeightSequences:
     def test_groups_by_fixation_onset(self):
         w = np.arange(10, dtype=np.float32)[:, None] * np.ones((1, 4), np.float32)
