@@ -9,6 +9,7 @@ is by-template so sharded training state round-trips losslessly.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
@@ -63,6 +64,55 @@ def latest_step(directory: str) -> Optional[int]:
     step = mngr.latest_step()
     mngr.close()
     return step
+
+
+def _best_dir(directory: str) -> str:
+    return directory.rstrip("/") + "_best"
+
+
+def _best_metric_path(directory: str) -> str:
+    # Sibling file, NOT inside the Orbax root (the manager's step scan
+    # must only ever see step directories).
+    return _best_dir(directory) + ".metric.json"
+
+
+def best_metric(directory: str) -> Optional[float]:
+    """The tracked best validation metric for a stage dir, if any."""
+    try:
+        with open(_best_metric_path(directory)) as f:
+            return float(json.load(f)["metric"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def save_best_checkpoint(
+    directory: str, step: int, state: Any, metric: float
+) -> bool:
+    """Track the best-validation checkpoint (lower metric = better).
+
+    The reference's SP trainer "saves best checkpoint" on validation
+    (ref:SP.py, SURVEY.md §2); here every stage dir ``d`` gets a sibling
+    ``d_best`` holding exactly the best-metric state, which downstream
+    stages restore in preference to the latest periodic save.
+
+    Returns True iff ``metric`` improved and the state was saved.
+    """
+    prev = best_metric(directory)
+    if prev is not None and not (metric < prev):
+        return False
+    save_checkpoint(_best_dir(directory), step, state, block=True)
+    with open(_best_metric_path(directory), "w") as f:
+        json.dump({"metric": float(metric), "step": int(step)}, f)
+    return True
+
+
+def restore_best_or_latest(directory: str, template: Any) -> Any:
+    """Restore the best-validation checkpoint when one was tracked,
+    falling back to the latest periodic save (then to the template)."""
+    bd = _best_dir(directory)
+    if latest_step(bd) is not None:
+        return restore_checkpoint(bd, template)
+    return restore_checkpoint(directory, template)
 
 
 def restore_checkpoint(directory: str, template: Any, step: Optional[int] = None) -> Any:

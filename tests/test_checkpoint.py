@@ -59,3 +59,38 @@ class TestAsyncCheckpoint:
         save_checkpoint(d, 5, {"v": jnp.asarray(5.0)}, block=False)
         finalize_checkpoints()
         assert latest_step(d) == 5
+
+
+class TestBestCheckpoint:
+    """ref:SP.py "saves best checkpoint" (SURVEY.md §2): a worsened final
+    epoch must still hand downstream stages the best-validation state."""
+
+    def test_keeps_best_not_latest(self, tmp_path):
+        from gaze_tpu.core.checkpoint import (
+            best_metric,
+            restore_best_or_latest,
+            save_best_checkpoint,
+        )
+
+        d = str(tmp_path / "sp")
+        template = {"v": jnp.asarray(0.0)}
+        # epoch 1: AAE 9.0; epoch 2: improves to 3.5; epoch 3: WORSE (7.0)
+        assert save_best_checkpoint(d, 1, {"v": jnp.asarray(1.0)}, 9.0)
+        assert save_best_checkpoint(d, 2, {"v": jnp.asarray(2.0)}, 3.5)
+        assert not save_best_checkpoint(d, 3, {"v": jnp.asarray(3.0)}, 7.0)
+        save_checkpoint(d, 3, {"v": jnp.asarray(3.0)})  # latest periodic
+        assert best_metric(d) == 3.5
+        # downstream restore prefers the best-epoch state...
+        best = restore_best_or_latest(d, template)
+        assert float(best["v"]) == 2.0
+        # ...while plain restore still sees the latest
+        latest = restore_checkpoint(d, template)
+        assert float(latest["v"]) == 3.0
+
+    def test_falls_back_to_latest_without_best(self, tmp_path):
+        from gaze_tpu.core.checkpoint import restore_best_or_latest
+
+        d = str(tmp_path / "sp")
+        save_checkpoint(d, 5, {"v": jnp.asarray(5.0)})
+        out = restore_best_or_latest(d, {"v": jnp.asarray(0.0)})
+        assert float(out["v"]) == 5.0
