@@ -90,9 +90,25 @@ class LSTMNet(nn.Module):
 
         The whole sequence runs through ``nn.scan``-wrapped LSTM cells —
         one compiled fused cell stepped T times by ``lax.scan``. Cell
-        parameter scopes (``lstm{i}``) are shared with :meth:`step`, so
-        the streaming single-step path uses the exact same weights.
+        parameter scopes (``lstm{i}``) are shared with :meth:`step` and
+        :meth:`rollout`, so every path uses the exact same weights.
         """
+        _, out = self._rollout(self.init_carry(ws.shape[0]), ws)
+        return out
+
+    @nn.compact
+    def rollout(self, carries, ws: jnp.ndarray):
+        """Sequence rollout from an EXPLICIT initial carry.
+
+        (carries, (B, T, D)) -> (new_carries, (B, T, D) predictions).
+        This is the TBPTT entry: window k of a video resumes from window
+        k-1's final carry instead of zeros, so fixation n always
+        conditions on fixation n-1 even across window boundaries
+        (train/at.py stateful windowing).
+        """
+        return self._rollout(carries, ws)
+
+    def _rollout(self, carries, ws: jnp.ndarray):
         ScanCell = nn.scan(
             nn.OptimizedLSTMCell,
             variable_broadcast="params",
@@ -101,6 +117,7 @@ class LSTMNet(nn.Module):
             out_axes=1,
         )
         h = ws
+        new_carries = []
         for i in range(self.cfg.num_layers):
             cell = ScanCell(
                 self.cfg.hidden_size,
@@ -108,9 +125,9 @@ class LSTMNet(nn.Module):
                 param_dtype=self.param_dtype,
                 name=f"lstm{i}",
             )
-            carry = cell.initialize_carry(jax.random.key(0), h[:, 0].shape)
-            _, h = cell(carry, h)
-        return nn.relu(self._head()(h))
+            carry, h = cell(carries[i], h)
+            new_carries.append(carry)
+        return new_carries, nn.relu(self._head()(h))
 
     def init_carry(self, batch: int):
         """Zero LSTM state for streaming inference (list over layers).

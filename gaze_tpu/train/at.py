@@ -2,19 +2,32 @@
 
 Trains the attention-transition LSTM to regress the next fixation's
 512-d channel-weight vector (MSE [U loss]) over per-video fixation
-sequences. Sequences are fixed-length windows (static shapes under jit);
-shorter tails are zero-padded and masked via ``mask``.
+sequences.
+
+Two batching modes:
+
+- **Stateful windowing (default, TBPTT)**: the reference trains
+  per-video variable-length sequences (SURVEY §2 "AT dataset" [M]);
+  variable shapes don't jit, so each video becomes fixed-length windows
+  whose LSTM carry is CHAINED — window k starts from window k-1's final
+  state (gradients stopped at the boundary, standard truncated BPTT).
+  Input windows lag target windows by one step, so every consecutive
+  fixation pair — including pairs straddling a window boundary — is
+  trained exactly once.
+- **Stateless windows** (``build_weight_sequences``): independent
+  zero-carry windows; kept for ablation.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
+from gaze_tpu.models.at import LSTMNet
 from gaze_tpu.models.pipeline import GazePipeline
 from gaze_tpu.train.common import TrainState, jit_dp_step, make_optimizer, make_state
 
@@ -43,19 +56,138 @@ def make_at_train_step(pipeline: GazePipeline, mesh: Optional[Mesh] = None):
     return jit_dp_step(step, mesh)
 
 
+def fixation_onset_weights(weights: np.ndarray, fixsac: np.ndarray) -> np.ndarray:
+    """Per-fixation weight vectors: one per run of fixsac==1 (its first
+    frame — the reference operates per fixation, not per frame [M])."""
+    starts = [
+        i for i in range(len(fixsac)) if fixsac[i] > 0 and (i == 0 or fixsac[i - 1] == 0)
+    ]
+    if not starts:
+        return np.zeros((0, weights.shape[-1]), np.float32)
+    return weights[starts].astype(np.float32)
+
+
+def build_tbptt_schedule(
+    video_weights: List[np.ndarray], seq_len: int, lanes: int
+) -> List[Dict[str, np.ndarray]]:
+    """Pack per-video fixation-weight sequences into a TBPTT schedule.
+
+    Each video's sequence w_0..w_{K-1} becomes (input=w[:-1],
+    target=w[1:]) split into consecutive ``seq_len`` windows. Videos are
+    packed greedily into ``lanes`` parallel lanes (longest first, onto
+    the shortest lane); a lane runs its videos back to back, raising
+    ``reset`` on each video's first window so the train step zeroes that
+    lane's carry.
+
+    Returns a list of per-step dicts — iterate IN ORDER, threading the
+    carry returned by :func:`make_at_tbptt_step`:
+      inputs  (lanes, seq_len, C)
+      targets (lanes, seq_len, C)
+      mask    (lanes, seq_len)   1.0 on real (input, target) pairs
+      reset   (lanes,)           1.0 where the lane starts a new video
+    """
+    per_video: List[List[Tuple[np.ndarray, np.ndarray, np.ndarray]]] = []
+    dim = None
+    for w in video_weights:
+        if len(w) < 2:
+            continue
+        dim = w.shape[-1]
+        inp, tgt = w[:-1], w[1:]
+        wins = []
+        for s in range(0, len(inp), seq_len):
+            ci, ct = inp[s : s + seq_len], tgt[s : s + seq_len]
+            pad = seq_len - len(ci)
+            m = np.concatenate([np.ones(len(ci)), np.zeros(pad)]).astype(np.float32)
+            if pad:
+                z = np.zeros((pad, dim), np.float32)
+                ci = np.concatenate([ci, z])
+                ct = np.concatenate([ct, z])
+            wins.append((ci.astype(np.float32), ct.astype(np.float32), m))
+        per_video.append(wins)
+    if not per_video:
+        return []
+
+    lane_wins: List[List[Tuple[Tuple, bool]]] = [[] for _ in range(lanes)]
+    for wins in sorted(per_video, key=len, reverse=True):
+        lane = min(lane_wins, key=len)
+        lane.extend((w, j == 0) for j, w in enumerate(wins))
+
+    steps = []
+    for k in range(max(len(l) for l in lane_wins)):
+        inputs = np.zeros((lanes, seq_len, dim), np.float32)
+        targets = np.zeros((lanes, seq_len, dim), np.float32)
+        mask = np.zeros((lanes, seq_len), np.float32)
+        reset = np.zeros((lanes,), np.float32)
+        for li, lane in enumerate(lane_wins):
+            if k < len(lane):
+                (ci, ct, m), is_start = lane[k]
+                inputs[li], targets[li], mask[li] = ci, ct, m
+                reset[li] = float(is_start)
+        steps.append(
+            {"inputs": inputs, "targets": targets, "mask": mask, "reset": reset}
+        )
+    return steps
+
+
+def make_at_tbptt_step(pipeline: GazePipeline, mesh: Optional[Mesh] = None):
+    """Stateful-window AT train step.
+
+    ``(state, batch) -> (state, metrics)`` where batch additionally
+    carries ``carry_c``/``carry_h`` (B, num_layers, hidden) from the
+    previous window (zeros for step 0); metrics return the new carries
+    (gradient-stopped — truncated BPTT). ``reset`` zeroes a lane's carry
+    at video starts so videos packed back-to-back in a lane stay
+    independent.
+    """
+    L = pipeline.config.at.num_layers
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> Tuple[TrainState, Dict]:
+        keep = (1.0 - batch["reset"]).reshape(-1, 1, 1)
+        cc = batch["carry_c"] * keep  # (B, L, H)
+        ch = batch["carry_h"] * keep
+        carries = [(cc[:, i], ch[:, i]) for i in range(L)]
+        mask = batch["mask"]
+
+        def loss_fn(params):
+            new_carries, pred = pipeline.lstm.apply(
+                {"params": params}, carries, batch["inputs"], method=LSTMNet.rollout
+            )
+            err = (pred - batch["targets"]) ** 2 * mask[..., None]
+            loss = jnp.sum(err) / (jnp.sum(mask) * pred.shape[-1] + 1e-8)
+            return loss, new_carries
+
+        (loss, new_carries), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_cc = jax.lax.stop_gradient(jnp.stack([c for c, _ in new_carries], axis=1))
+        new_ch = jax.lax.stop_gradient(jnp.stack([h for _, h in new_carries], axis=1))
+        return state.apply_gradients(grads), {
+            "loss": loss,
+            "carry_c": new_cc,
+            "carry_h": new_ch,
+        }
+
+    return jit_dp_step(step, mesh)
+
+
 def build_weight_sequences(
-    weights: np.ndarray, fixsac: np.ndarray, seq_len: int
+    weights: np.ndarray,
+    fixsac: np.ndarray,
+    seq_len: int,
+    per_fixation: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Group per-frame weight vectors into per-fixation sequences.
 
     One weight vector per fixation *segment* (first frame of each run of
     fixsac==1 — the reference operates per fixation, not per frame [M]),
     windowed into (N, seq_len, C) with a (N, seq_len) validity mask.
+    With ``per_fixation=False`` the weights are taken as an
+    already-extracted fixation sequence and only windowed.
     """
-    starts = [
-        i for i in range(len(fixsac)) if fixsac[i] > 0 and (i == 0 or fixsac[i - 1] == 0)
-    ]
-    fix_w = weights[starts] if starts else np.zeros((0, weights.shape[-1]), weights.dtype)
+    if per_fixation:
+        fix_w = fixation_onset_weights(weights, fixsac)
+    else:
+        fix_w = np.asarray(weights, np.float32)
     n = len(fix_w)
     if n < 2:
         return (

@@ -37,7 +37,9 @@ def _frozen_maps(pipeline: GazePipeline, frozen: Dict[str, Any], batch: Dict[str
     as an independent single-step stream.
     """
     cfg = pipeline.config
-    rgb_in, flow_in = pipeline.preprocess_pair(batch["prev"], batch["cur"])
+    rgb_in, flow_in = pipeline.preprocess_pair(
+        batch["prev"], batch["cur"], batch.get("flow_img")
+    )
     sal, feat = pipeline.sp.apply(frozen["sp"], rgb_in, flow_in)
     w = fixation_pool(feat, batch["gaze"], cfg.at)
     carries = pipeline.lstm.init_carry(sal.shape[0])
@@ -60,7 +62,64 @@ def make_lf_train_step(
 
         def loss_fn(params):
             pred = pipeline.lf.apply({"params": params}, fused_in)
-            return floss(pred, target, cfg.loss)
+            return floss(pred, target, cfg.loss, sample_weight=batch.get("valid"))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), {"loss": loss}
+
+    return jit_dp_step(step, mesh)
+
+
+def make_lf_rollout_train_step(
+    pipeline: GazePipeline, frozen: Dict[str, Any], mesh: Optional[Mesh] = None
+):
+    """Clip-based LF training on ROLLED-OUT attention maps.
+
+    The teacher-forced step above trains LF on zero-carry, GT-pooled AT
+    maps, which differ systematically from the inference-time gated
+    rollout (train/test skew — the AT map LF sees at eval comes from a
+    carried LSTM state pooled at the SP argmax). This step removes the
+    skew: each batch element is a contiguous clip, the frozen SP+AT run
+    the exact §3.4 rollout inside the train step, and LF learns on the
+    same (sal, amap) distribution it will fuse at inference.
+
+    Batch: frames (B, T+1, H, W, 3) u8, fixsac/gaze/valid (B, T+1, ...)
+    — labels for frames[1:] supervise; frame 0 seeds the flow pair.
+    """
+    cfg = pipeline.config
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> Tuple[TrainState, Dict]:
+        frames = batch["frames"]
+        B, Tp1 = frames.shape[0], frames.shape[1]
+        T = Tp1 - 1
+        variables = {"sp": frozen["sp"], "at": frozen["at"],
+                     "lf": {"params": state.params}}
+        st = pipeline.init_state(B)
+
+        def tx(x):
+            return jnp.swapaxes(x, 0, 1)
+
+        def body(carry, xs):
+            prev, cur, fix = xs
+            carry, out = pipeline.step(variables, carry, prev, cur, fix)
+            return carry, (out["saliency"], out["attention"])
+
+        xs = (tx(frames[:, :-1]), tx(frames[:, 1:]), tx(batch["fixsac"][:, 1:]))
+        _, (sal, amap) = jax.lax.scan(body, st, xs)
+        # (T, B, H, W) -> (B*T, H, W); the rollout is frozen context for
+        # the LF head, so no gradient flows back through it.
+        sal = jax.lax.stop_gradient(tx(sal)).reshape(B * T, *sal.shape[2:])
+        amap = jax.lax.stop_gradient(tx(amap)).reshape(B * T, *amap.shape[2:])
+        fused_in = jnp.stack([sal, amap], axis=-1).astype(pipeline.dtype)
+        target = render_gaussian(
+            batch["gaze"][:, 1:].reshape(B * T, 2),
+            cfg.image.height, cfg.image.width, cfg.image.heatmap_sigma,
+        )
+        weight = batch["valid"][:, 1:].reshape(B * T)
+
+        def loss_fn(params):
+            pred = pipeline.lf.apply({"params": params}, fused_in)
+            return floss(pred, target, cfg.loss, sample_weight=weight)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), {"loss": loss}

@@ -95,6 +95,21 @@ class TestLSTMNet:
         ws = jax.random.normal(RNG, (2, 4, 16))
         assert float(lstm.apply(variables, ws).min()) >= 0.0
 
+    def test_rollout_chains_across_windows(self, lstm_setup):
+        """rollout(carry_k-1, window_k) chained over two windows must
+        equal one full-sequence rollout — the TBPTT state-continuity
+        contract (train/at.py stateful windowing)."""
+        cfg, lstm, variables = lstm_setup
+        ws = jax.random.normal(RNG, (2, 6, 16))
+        full = lstm.apply(variables, ws)  # zero-carry whole sequence
+        carries = lstm.init_carry(2)
+        carries, out_a = lstm.apply(
+            variables, carries, ws[:, :3], method=LSTMNet.rollout
+        )
+        _, out_b = lstm.apply(variables, carries, ws[:, 3:], method=LSTMNet.rollout)
+        chained = jnp.concatenate([out_a, out_b], axis=1)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(chained), atol=1e-5)
+
 
 class TestAttentionMap:
     def test_channel_reweighting(self):
