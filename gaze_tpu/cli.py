@@ -24,13 +24,18 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gaze_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
+from gaze_tpu.core.checkpoint import (
+    restore_best_or_latest,
+    restore_checkpoint,
+    save_best_checkpoint,
+    save_checkpoint,
+)
 from gaze_tpu.core.config import (
     ImageConfig,
     PipelineConfig,
@@ -44,8 +49,20 @@ from gaze_tpu.data.synthetic import SyntheticSpec, batch_iterator, generate_sequ
 from gaze_tpu.models.pipeline import GazePipeline
 from gaze_tpu.models.weights_io import init_sp_from_torch_vgg16
 from gaze_tpu.parallel.mesh import make_mesh
-from gaze_tpu.train.at import build_weight_sequences, create_at_state, make_at_train_step
-from gaze_tpu.train.lf import create_lf_state, make_lf_eval_step, make_lf_train_step
+from gaze_tpu.train.at import (
+    build_tbptt_schedule,
+    build_weight_sequences,
+    create_at_state,
+    fixation_onset_weights,
+    make_at_tbptt_step,
+    make_at_train_step,
+)
+from gaze_tpu.train.lf import (
+    create_lf_state,
+    make_lf_eval_step,
+    make_lf_rollout_train_step,
+    make_lf_train_step,
+)
 from gaze_tpu.train.sp import (
     create_sp_state,
     extract_fixation_weights,
@@ -63,13 +80,26 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--train_late", action="store_true", help="train the LF head")
     p.add_argument("--extract_late", action="store_true",
                    help="kept for CLI parity; extraction streams in-memory")
-    p.add_argument("--eval", action="store_true", help="evaluate the full pipeline")
+    p.add_argument("--eval", action="store_true",
+                   help="evaluate the full pipeline: per-video sequential "
+                        "rollout (fixsac-gated LSTM state carried across "
+                        "frames, AT pooled at the SP argmax — SURVEY §3.4)")
+    p.add_argument("--eval_teacher_forced", action="store_true",
+                   help="diagnostic eval variant: stateless per-frame AT "
+                        "pooled at the GT gaze (NOT the reference's "
+                        "inference path; kept for ablation)")
     # data
     p.add_argument("--data_root", type=str, default=None, help="GTEA Gaze+ root")
     p.add_argument("--test_subject", type=str, default=None,
                    help="leave-one-subject-out test subject")
     p.add_argument("--synthetic", action="store_true",
                    help="use the synthetic moving-dot dataset")
+    p.add_argument("--precomputed_flow", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="consume dense_flow JPEGs from <root>/flows/ for "
+                        "the temporal stream (strict parity with the "
+                        "reference's data path) instead of solving TV-L1 "
+                        "on-TPU; auto = use them when present")
     # optimization
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -77,6 +107,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_epoch", type=int, default=100,
                    help="synthetic-data steps per epoch")
     p.add_argument("--seq_len", type=int, default=16, help="AT sequence window")
+    p.add_argument("--lf_rollout", type=int, default=0, metavar="T",
+                   help="train LF on T-frame clip ROLLOUTS (gated LSTM, "
+                        "AT pooled at SP argmax — the inference-time map "
+                        "distribution) instead of teacher-forced "
+                        "single-frame maps; 0 = teacher-forced (faster)")
+    p.add_argument("--at_stateless", action="store_true",
+                   help="ablation: train AT on independent zero-carry "
+                        "windows instead of the default stateful TBPTT "
+                        "(carry chained across a video's windows)")
     # checkpoints
     p.add_argument("--save_dir", type=str, default="save")
     p.add_argument("--sp_ckpt", type=str, default=None)
@@ -85,7 +124,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained_vgg", type=str, default=None,
                    help="torchvision vgg16 .pth for encoder init")
     # misc
-    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--image_size", type=str, default="224",
+                   help="model grid: N (square) or HxW (e.g. 288x384 for "
+                        "4:3 GTEA native aspect)")
     p.add_argument("--dp_devices", type=int, default=None,
                    help="devices for data parallelism (default: all)")
     p.add_argument("--log_every", type=int, default=20)
@@ -103,13 +144,21 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+def parse_image_size(spec: str) -> Tuple[int, int]:
+    """'224' -> (224, 224); '288x384' -> (288, 384) as (height, width)."""
+    if "x" in spec:
+        h, w = spec.lower().split("x", 1)
+        return int(h), int(w)
+    n = int(spec)
+    return n, n
+
+
 def make_config(args) -> PipelineConfig:
     base = default_config()
+    ih, iw = parse_image_size(args.image_size)
     return dataclasses.replace(
         base,
-        image=dataclasses.replace(
-            base.image, height=args.image_size, width=args.image_size
-        ),
+        image=dataclasses.replace(base.image, height=ih, width=iw),
         train=dataclasses.replace(
             base.train,
             batch_size=args.batch_size,
@@ -117,6 +166,34 @@ def make_config(args) -> PipelineConfig:
             epochs=args.epochs,
         ),
     )
+
+
+def _flow_mode(args) -> Optional[bool]:
+    """--precomputed_flow -> pair_batches' use_precomputed_flow arg."""
+    return {"auto": None, "on": True, "off": False}[
+        getattr(args, "precomputed_flow", "auto")
+    ]
+
+
+def _clip_batches(args, cfg: PipelineConfig, clip_len: int) -> Iterator[Dict]:
+    """Contiguous-clip batch source for rollout-mode LF training."""
+    if args.data_root:
+        from gaze_tpu.data.gtea import clip_batches
+
+        manifest = build_manifest(args.data_root)
+        subject = args.test_subject or manifest.subjects()[0]
+        train_recs, _ = manifest.split_leave_one_out(subject)
+        return clip_batches(
+            train_recs, args.batch_size, clip_len,
+            (cfg.image.height, cfg.image.width),
+        )
+    from gaze_tpu.data.synthetic import clip_iterator
+
+    spec = SyntheticSpec(
+        num_frames=max(64, args.batch_size * 4),
+        height=cfg.image.height, width=cfg.image.width, seed=0,
+    )
+    return clip_iterator(spec, args.batch_size, clip_len, args.steps_per_epoch)
 
 
 def _batches(args, cfg: PipelineConfig, train: bool) -> Iterator[Dict]:
@@ -132,6 +209,7 @@ def _batches(args, cfg: PipelineConfig, train: bool) -> Iterator[Dict]:
             args.batch_size,
             target_hw=(cfg.image.height, cfg.image.width),
             shuffle=train,
+            use_precomputed_flow=_flow_mode(args),
         )
     spec = SyntheticSpec(
         num_frames=max(64, args.batch_size * 4),
@@ -156,8 +234,24 @@ def run_train_sp(args, cfg, pipeline, mesh) -> Dict:
     ckpt_dir = args.sp_ckpt or os.path.join(args.save_dir, "sp")
     state = restore_checkpoint(ckpt_dir, state)
     step_fn = make_sp_train_step(pipeline, mesh)
-    eval_fn = make_sp_eval_step(pipeline) if args.eval_every else None
+    eval_fn = make_sp_eval_step(pipeline)
     logger = StepLogger("sp", every=args.log_every)
+
+    def validate_and_track(step_no: int) -> None:
+        """Periodic val + best-checkpoint tracking (ref:SP.py "saves best
+        checkpoint" [M]): downstream stages restore best, not latest."""
+        vb = next(iter(_batches(args, cfg, train=False)))
+        m = eval_fn(state, vb)
+        keep = np.asarray(vb["valid"]) > 0 if "valid" in vb else slice(None)
+        val_aae = float(np.mean(np.asarray(m["aae"])[keep]))
+        logger.log(
+            step_no,
+            {"val_aae": val_aae,
+             "val_auc": float(np.mean(np.asarray(m["auc"])[keep]))},
+            force=True,
+        )
+        save_best_checkpoint(ckpt_dir, step_no, jax.device_get(state), val_aae)
+
     for epoch in range(args.epochs):
         for batch in device_prefetch(_batches(args, cfg, train=True), mesh):
             state, metrics = step_fn(state, batch)
@@ -168,48 +262,39 @@ def run_train_sp(args, cfg, pipeline, mesh) -> Dict:
             # last blocking epoch save — SURVEY.md §5).
             if args.ckpt_every and step_no % args.ckpt_every == 0:
                 save_checkpoint(ckpt_dir, step_no, jax.device_get(state), block=False)
-            if eval_fn is not None and step_no % args.eval_every == 0:
-                vb = next(iter(_batches(args, cfg, train=False)))
-                m = eval_fn(state, vb)
-                logger.log(
-                    step_no,
-                    {"val_aae": float(np.mean(np.asarray(m["aae"]))),
-                     "val_auc": float(np.mean(np.asarray(m["auc"])))},
-                    force=True,
-                )
+            if args.eval_every and step_no % args.eval_every == 0:
+                validate_and_track(step_no)
+    validate_and_track(int(state.step))  # stage-end val: best always exists
     save_checkpoint(ckpt_dir, int(state.step), jax.device_get(state))
-    return {"params": state.params, "batch_stats": state.batch_stats}
+    best = restore_best_or_latest(ckpt_dir, state)
+    return {"params": best.params, "batch_stats": best.batch_stats}
 
 
-def run_train_lstm(args, cfg, pipeline, mesh, sp_vars) -> Dict:
-    """AT stage: extract fixation weight sequences with the frozen SP
-    encoder (in-memory — the reference's per-video .npy dumps), then
-    train the LSTM on them."""
+def _extract_video_weights(args, cfg, pipeline, sp_vars) -> List[np.ndarray]:
+    """Per-video fixation-onset weight sequences from the frozen SP
+    encoder (in-memory — the reference's per-video .npy dumps)."""
     extract = extract_fixation_weights(pipeline)
-
-    # Pass 1: per-video weight sequences.
-    all_seqs: List[np.ndarray] = []
-    all_masks: List[np.ndarray] = []
+    video_w: List[np.ndarray] = []
     if args.data_root:
         manifest = build_manifest(args.data_root)
         subject = args.test_subject or manifest.subjects()[0]
         train_recs, _ = manifest.split_leave_one_out(subject)
-        videos = sorted({r.video for r in train_recs})
-        for v in videos:
+        for v in sorted({r.video for r in train_recs}):
             recs = [r for r in train_recs if r.video == v]
             ws, fx = [], []
             for batch in pair_batches(
                 recs, args.batch_size, (cfg.image.height, cfg.image.width),
                 shuffle=False, drop_remainder=False,
+                use_precomputed_flow=_flow_mode(args),
             ):
                 ws.append(np.asarray(extract(sp_vars, batch)))
-                fx.append(batch["fixsac"])
+                # An untracked frame pools features at a garbage point —
+                # it must not seed a fixation weight vector.
+                fx.append(batch["fixsac"] * batch.get("valid", 1.0))
             if ws:
-                s, m = build_weight_sequences(
-                    np.concatenate(ws), np.concatenate(fx), args.seq_len
+                video_w.append(
+                    fixation_onset_weights(np.concatenate(ws), np.concatenate(fx))
                 )
-                all_seqs.append(s)
-                all_masks.append(m)
     else:
         spec = SyntheticSpec(
             num_frames=max(64, args.batch_size * 4),
@@ -224,38 +309,84 @@ def run_train_lstm(args, cfg, pipeline, mesh, sp_vars) -> Dict:
                 "gaze": gaze[idx], "fixsac": fixsac[idx],
             }
             ws.append(np.asarray(extract(sp_vars, batch)))
-        s, m = build_weight_sequences(np.concatenate(ws), fixsac[1:], args.seq_len)
-        all_seqs.append(s)
-        all_masks.append(m)
+        video_w.append(
+            fixation_onset_weights(np.concatenate(ws), fixsac[1:])
+        )
+    return video_w
 
-    seqs = np.concatenate([s for s in all_seqs if len(s)]) if all_seqs else np.zeros((0,))
-    masks = np.concatenate([m for m in all_masks if len(m)]) if all_masks else np.zeros((0,))
-    if len(seqs) == 0:
+
+def run_train_lstm(args, cfg, pipeline, mesh, sp_vars) -> Dict:
+    """AT stage: extract fixation weight sequences with the frozen SP
+    encoder, then train the LSTM.
+
+    Default = stateful TBPTT windowing (train/at.py): each video's LSTM
+    carry chains across its windows, so fixation n conditions on n-1
+    even at window boundaries — matching the reference's per-video
+    variable-length sequences [M]. ``--at_stateless`` keeps the
+    independent zero-carry windows for ablation.
+    """
+    video_w = _extract_video_weights(args, cfg, pipeline, sp_vars)
+    video_w = [w for w in video_w if len(w) >= 2]
+    if not video_w:
         raise RuntimeError("no fixation sequences extracted — check fixsac labels")
 
-    # Pass 2: LSTM training.
     state = create_at_state(jax.random.key(cfg.train.seed), pipeline)
     ckpt_dir = args.at_ckpt or os.path.join(args.save_dir, "at")
     state = restore_checkpoint(ckpt_dir, state)
-    bs = min(args.batch_size, len(seqs))
-    # DP batches must divide across the mesh; small corpora train on one
-    # device instead of being padded.
-    at_mesh = mesh
-    if mesh is not None:
-        if bs >= mesh.size:
-            bs = (bs // mesh.size) * mesh.size
-        else:
-            at_mesh = None
-    step_fn = make_at_train_step(pipeline, at_mesh)
     logger = StepLogger("at", every=args.log_every)
-    rng = np.random.default_rng(0)
-    for epoch in range(args.epochs):
-        order = rng.permutation(len(seqs))
-        for s in range(0, len(order) - bs + 1, bs):
-            idx = order[s : s + bs]
-            batch = {"weights": jnp.asarray(seqs[idx]), "mask": jnp.asarray(masks[idx])}
-            state, metrics = step_fn(state, batch)
-            logger.log(int(state.step), metrics)
+
+    if args.at_stateless:
+        # Ablation path: independent zero-carry windows, shuffled.
+        all_s, all_m = [], []
+        for w in video_w:
+            s, m = build_weight_sequences(
+                w, np.ones((len(w),), np.float32), args.seq_len,
+                per_fixation=False,
+            )
+            all_s.append(s)
+            all_m.append(m)
+        seqs = np.concatenate([s for s in all_s if len(s)])
+        masks = np.concatenate([m for m in all_m if len(m)])
+        bs = min(args.batch_size, len(seqs))
+        at_mesh = mesh
+        if mesh is not None:
+            if bs >= mesh.size:
+                bs = (bs // mesh.size) * mesh.size
+            else:
+                at_mesh = None
+        step_fn = make_at_train_step(pipeline, at_mesh)
+        rng = np.random.default_rng(0)
+        for epoch in range(args.epochs):
+            order = rng.permutation(len(seqs))
+            for s in range(0, len(order) - bs + 1, bs):
+                idx = order[s : s + bs]
+                batch = {"weights": jnp.asarray(seqs[idx]),
+                         "mask": jnp.asarray(masks[idx])}
+                state, metrics = step_fn(state, batch)
+                logger.log(int(state.step), metrics)
+    else:
+        lanes = max(1, min(args.batch_size, len(video_w)))
+        at_mesh = mesh
+        if mesh is not None:
+            if lanes >= mesh.size:
+                lanes = (lanes // mesh.size) * mesh.size
+            else:
+                at_mesh = None
+        schedule = build_tbptt_schedule(video_w, args.seq_len, lanes)
+        step_fn = make_at_tbptt_step(pipeline, at_mesh)
+        L = cfg.at.num_layers
+        H = cfg.at.hidden_size
+        for epoch in range(args.epochs):
+            carry_c = jnp.zeros((lanes, L, H), jnp.float32)
+            carry_h = jnp.zeros((lanes, L, H), jnp.float32)
+            for sched in schedule:
+                batch = {k: jnp.asarray(v) for k, v in sched.items()}
+                batch["carry_c"] = carry_c
+                batch["carry_h"] = carry_h
+                state, metrics = step_fn(state, batch)
+                carry_c, carry_h = metrics["carry_c"], metrics["carry_h"]
+                logger.log(int(state.step), {"loss": metrics["loss"]})
+
     save_checkpoint(ckpt_dir, int(state.step), jax.device_get(state))
     return {"params": state.params}
 
@@ -265,19 +396,42 @@ def run_train_late(args, cfg, pipeline, mesh, sp_vars, at_vars) -> Dict:
     state = create_lf_state(jax.random.key(cfg.train.seed), pipeline)
     ckpt_dir = args.lf_ckpt or os.path.join(args.save_dir, "lf")
     state = restore_checkpoint(ckpt_dir, state)
-    step_fn = make_lf_train_step(pipeline, frozen, mesh)
+    if args.lf_rollout > 0:
+        step_fn = make_lf_rollout_train_step(pipeline, frozen, mesh)
+        batches = lambda: _clip_batches(args, cfg, args.lf_rollout)
+    else:
+        step_fn = make_lf_train_step(pipeline, frozen, mesh)
+        batches = lambda: _batches(args, cfg, train=True)
+    eval_fn = make_lf_eval_step(pipeline, frozen)
     logger = StepLogger("lf", every=args.log_every)
     for epoch in range(args.epochs):
-        for batch in device_prefetch(_batches(args, cfg, train=True), mesh):
+        for batch in device_prefetch(batches(), mesh):
             state, metrics = step_fn(state, batch)
             logger.log(int(state.step), metrics)
+        # Epoch-end val + best tracking (teacher-forced proxy metric —
+        # cheap; the authoritative number is run_eval's rollout).
+        vb = next(iter(_batches(args, cfg, train=False)))
+        m = eval_fn(state, vb)
+        keep = np.asarray(vb["valid"]) > 0 if "valid" in vb else slice(None)
+        val_aae = float(np.mean(np.asarray(m["aae"])[keep]))
+        logger.log(int(state.step), {"val_aae": val_aae}, force=True)
+        save_best_checkpoint(ckpt_dir, int(state.step), jax.device_get(state), val_aae)
     save_checkpoint(ckpt_dir, int(state.step), jax.device_get(state))
-    return state
+    return restore_best_or_latest(ckpt_dir, state)
 
 
 def run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> Dict[str, float]:
     """Full-pipeline evaluation; per-video AAE/AUC breakdown plus the
-    average, matching the reference's report format (SURVEY.md §3.5)."""
+    average, matching the reference's report format (SURVEY.md §3.5).
+
+    Default = the true §3.4 sequential rollout (evaluation/rollout.py):
+    LSTM state carried across each video, gated on fixation onsets, AT
+    pooled at the SP argmax — the reference's ``LF.val()`` semantics.
+    ``--eval_teacher_forced`` switches to the stateless GT-gaze-pooled
+    diagnostic (explicitly NOT the reference's inference path).
+    """
+    if not args.eval_teacher_forced:
+        return _run_eval_rollout(args, cfg, pipeline, sp_vars, at_vars, lf_state)
     frozen = {"sp": sp_vars, "at": at_vars}
     eval_fn = make_lf_eval_step(pipeline, frozen)
 
@@ -285,9 +439,12 @@ def run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> Dict[str, float
         aaes, aucs = [], []
         for batch in batches:
             m = eval_fn(lf_state, batch)
-            aaes.append(np.asarray(m["aae"]))
-            aucs.append(np.asarray(m["auc"]))
-        if not aaes:
+            # Untracked-gaze frames have no usable GT — excluded from the
+            # aggregate, matching the reference's metric filtering [M].
+            keep = np.asarray(batch["valid"]) > 0 if "valid" in batch else slice(None)
+            aaes.append(np.asarray(m["aae"])[keep])
+            aucs.append(np.asarray(m["auc"])[keep])
+        if not aaes or not len(np.concatenate(aaes)):
             return float("nan"), float("nan")
         return (
             float(np.concatenate(aaes).mean()),
@@ -306,6 +463,7 @@ def run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> Dict[str, float
                     recs, args.batch_size,
                     (cfg.image.height, cfg.image.width),
                     shuffle=False, drop_remainder=False,
+                    use_precomputed_flow=_flow_mode(args),
                 )
             )
             per_video[v] = (aae_v, auc_v)
@@ -314,6 +472,60 @@ def run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> Dict[str, float
         auc = float(np.mean([c for _, c in per_video.values()]))
     else:
         aae, auc = eval_batches(_batches(args, cfg, train=False))
+
+    result = {"AAE_deg": aae, "AUC": auc}
+    print(result)
+    return result
+
+
+def _run_eval_rollout(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> Dict[str, float]:
+    """The §3.4 sequential-rollout evaluation (see run_eval)."""
+    from gaze_tpu.evaluation.rollout import rollout_eval_arrays, rollout_eval_videos
+
+    variables = {"sp": sp_vars, "at": at_vars, "lf": {"params": lf_state.params}}
+    per_video: Dict[str, Tuple[float, float]] = {}
+    if args.data_root:
+        manifest = build_manifest(args.data_root)
+        subject = args.test_subject or manifest.subjects()[0]
+        _, test_recs = manifest.split_leave_one_out(subject)
+        vids: Dict[str, List] = {}
+        for r in test_recs:
+            vids.setdefault(r.video, []).append(r)
+        results = rollout_eval_videos(
+            pipeline, variables, vids,
+            use_precomputed_flow=_flow_mode(args),
+        )
+        for v in sorted(results):
+            aae_v, auc_v, n = results[v]
+            per_video[v] = (aae_v, auc_v)
+            print({"video": v, "AAE_deg": round(aae_v, 3),
+                   "AUC": round(auc_v, 4), "frames": n})
+        aae = float(np.mean([a for a, _ in per_video.values()]))
+        auc = float(np.mean([c for _, c in per_video.values()]))
+    else:
+        # Synthetic: a handful of held-out moving-dot videos with
+        # DISTINCT seeds, rolled out sequentially.
+        n_videos = 4
+        T = max(32, args.batch_size)
+        frames, gaze, fixsac = [], [], []
+        for i in range(n_videos):
+            f, g, fx = generate_sequence(
+                SyntheticSpec(num_frames=T, height=cfg.image.height,
+                              width=cfg.image.width, seed=1000 + i)
+            )
+            frames.append(f)
+            gaze.append(g)
+            fixsac.append(fx)
+        aae_s, auc_s, cnt = rollout_eval_arrays(
+            pipeline, variables,
+            np.stack(frames), np.stack(gaze), np.stack(fixsac),
+        )
+        for i in range(n_videos):
+            per_video[f"synthetic_{i}"] = (
+                float(aae_s[i] / cnt[i]), float(auc_s[i] / cnt[i])
+            )
+        aae = float(aae_s.sum() / cnt.sum())
+        auc = float(auc_s.sum() / cnt.sum())
 
     result = {"AAE_deg": aae, "AUC": auc}
     print(result)
@@ -341,7 +553,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     if args.train_lstm or args.train_late or args.eval:
         if sp_vars is None:
             state = create_sp_state(rng, pipeline)
-            state = restore_checkpoint(
+            state = restore_best_or_latest(
                 args.sp_ckpt or os.path.join(args.save_dir, "sp"), state
             )
             sp_vars = {"params": state.params, "batch_stats": state.batch_stats}
@@ -359,7 +571,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     if args.eval:
         if lf_state is None:
             state = create_lf_state(rng, pipeline)
-            lf_state = restore_checkpoint(
+            lf_state = restore_best_or_latest(
                 args.lf_ckpt or os.path.join(args.save_dir, "lf"), state
             )
         run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state)

@@ -1,0 +1,239 @@
+"""Sequential full-pipeline rollout evaluation — the parity-critical
+inference loop of SURVEY.md §3.4/§3.5 (ref:gaze_full.py / ref:LF.py
+``val()`` [M]).
+
+Per video, frames are processed IN ORDER with real streaming semantics:
+
+- the AT LSTM state is carried across the whole video, advanced only on
+  fixation onsets (fixsac-gated);
+- AT features are pooled at the SP map's argmax — the model's own
+  prediction, never the ground-truth gaze (no teacher forcing);
+- the LF head fuses SP saliency with the rolled-out attention map and
+  the final heatmap's argmax is scored against GT with AAE/AUC.
+
+TPU shape: V test videos advance in lockstep as a batch (padded to a
+fixed group size), scanning time inside one jit per fixed-length chunk;
+the recurrent state + previous frame live in HBM between chunks, so the
+host only streams decoded uint8 frames in. Untracked-gaze frames and
+tail padding are masked out of the metric sums in-graph (one D2H sync
+per chunk, never per frame — the reference syncs per frame, SURVEY.md
+§3.1 hot-loop note).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaze_tpu.evaluation.metrics import aae, auc_judd
+from gaze_tpu.models.pipeline import GazePipeline
+
+
+def make_rollout_chunk_fn(pipeline: GazePipeline, with_flow: bool = False) -> Callable:
+    """jit-compiled chunk evaluator.
+
+    Signature: ``(variables, state, prev, frames, fixsac, gaze, valid
+    [, flow_img]) -> (state, prev, sums)`` where
+
+      state:   StreamState carried across chunks (per video slot),
+      prev:    (V, H, W, 3) uint8 — last frame of the previous chunk,
+      frames:  (V, T, H, W, 3) uint8 current-frame chunk,
+      fixsac:  (V, T) fixation bits (0 on padding),
+      gaze:    (V, T, 2) GT gaze in model-grid pixels,
+      valid:   (V, T) 1.0 where the frame exists AND its gaze is tracked,
+      flow_img:(V, T, h, w, 2) uint8 precomputed flow (with_flow=True),
+      sums:    dict of (V,) masked sums — "aae", "auc", "count".
+
+    ``variables`` is the full {"sp","at","lf"} tree; AT pooling is at the
+    SP argmax (``gaze_xy=None`` in ``pipeline.step``).
+    """
+    cfg = pipeline.config
+
+    def chunk_fn(variables, state, prev, frames, fixsac, gaze, valid, flow_img=None):
+        def body(carry, xs):
+            st, pv = carry
+            if with_flow:
+                cur, fix, gz, vd, fl = xs
+            else:
+                cur, fix, gz, vd = xs
+                fl = None
+            st, out = pipeline.step(variables, st, pv, cur, fix, flow_img=fl)
+            a = aae(out["heatmap"], gz, cfg.camera)
+            u = auc_judd(out["heatmap"], gz)
+            # where (not *): a masked frame may carry NaN gaze, and
+            # NaN * 0 would poison the sum.
+            keep = vd > 0
+            return (st, cur), (
+                jnp.where(keep, a, 0.0),
+                jnp.where(keep, u, 0.0),
+                vd,
+            )
+
+        def tx(x):
+            return jnp.swapaxes(x, 0, 1)
+
+        xs = (tx(frames), tx(fixsac), tx(gaze), tx(valid))
+        if with_flow:
+            xs = xs + (tx(flow_img),)
+        (state, prev), (aaes, aucs, cnts) = jax.lax.scan(body, (state, prev), xs)
+        sums = {
+            "aae": jnp.sum(aaes, axis=0),
+            "auc": jnp.sum(aucs, axis=0),
+            "count": jnp.sum(cnts, axis=0),
+        }
+        return state, prev, sums
+
+    return jax.jit(chunk_fn)
+
+
+def rollout_eval_arrays(
+    pipeline: GazePipeline,
+    variables: Dict[str, Any],
+    frames: np.ndarray,
+    gaze: np.ndarray,
+    fixsac: np.ndarray,
+    valid: Optional[np.ndarray] = None,
+    chunk_len: int = 32,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Rollout-evaluate V equal-length in-memory videos.
+
+    Args:
+      frames: (V, T, H, W, 3) uint8 — frame 0 seeds the flow pair and is
+        not scored (no pair exists yet), matching the loader's pairing.
+      gaze:   (V, T, 2) GT gaze in model-grid pixels.
+      fixsac: (V, T) fixation bits.
+      valid:  optional (V, T) gaze-validity mask (default all valid).
+
+    Returns:
+      (aae_sum, auc_sum, count) arrays of shape (V,) — divide for means.
+    """
+    V, T = frames.shape[:2]
+    if valid is None:
+        valid = np.ones((V, T), np.float32)
+    chunk_fn = make_rollout_chunk_fn(pipeline)
+    state = pipeline.init_state(V)
+    prev = jnp.asarray(frames[:, 0])
+    aae_s = np.zeros((V,), np.float64)
+    auc_s = np.zeros((V,), np.float64)
+    cnt = np.zeros((V,), np.float64)
+    for s in range(1, T, chunk_len):
+        e = min(s + chunk_len, T)
+        pad = chunk_len - (e - s)
+
+        def pad_t(x):
+            if pad == 0:
+                return x
+            shape = (V, pad) + x.shape[2:]
+            return np.concatenate([x, np.zeros(shape, x.dtype)], axis=1)
+
+        state, prev, sums = chunk_fn(
+            variables,
+            state,
+            prev,
+            jnp.asarray(pad_t(frames[:, s:e])),
+            jnp.asarray(pad_t(fixsac[:, s:e].astype(np.float32))),
+            jnp.asarray(pad_t(gaze[:, s:e].astype(np.float32))),
+            jnp.asarray(pad_t(valid[:, s:e].astype(np.float32))),
+        )
+        aae_s += np.asarray(sums["aae"], np.float64)
+        auc_s += np.asarray(sums["auc"], np.float64)
+        cnt += np.asarray(sums["count"], np.float64)
+    return aae_s, auc_s, cnt
+
+
+def rollout_eval_videos(
+    pipeline: GazePipeline,
+    variables: Dict[str, Any],
+    videos: Dict[str, Sequence],
+    chunk_len: int = 32,
+    group_size: int = 8,
+    use_precomputed_flow: Optional[bool] = None,
+) -> Dict[str, Tuple[float, float, int]]:
+    """Rollout-evaluate GTEA videos from FrameRecord lists.
+
+    Videos advance in lockstep groups of ``group_size`` (padded — one
+    compiled program regardless of corpus shape); frames are decoded
+    chunk-by-chunk on host so a full video never needs to fit in RAM.
+
+    Returns {video: (mean_aae_deg, mean_auc, frames_scored)}.
+    """
+    from gaze_tpu.data.gtea import _decode_flow_images, _decode_images
+
+    cfg = pipeline.config
+    th, tw = cfg.image.height, cfg.image.width
+    names = sorted(videos.keys())
+    recs = {v: sorted(videos[v], key=lambda r: r.index) for v in names}
+
+    def rec_has_flow(r) -> bool:
+        return r.flow_path is not None or r.flow_xy_paths is not None
+
+    if use_precomputed_flow is None:
+        use_precomputed_flow = bool(names) and all(
+            rec_has_flow(r) for v in names for r in recs[v]
+        )
+
+    chunk_fn = make_rollout_chunk_fn(pipeline, with_flow=use_precomputed_flow)
+    results: Dict[str, Tuple[float, float, int]] = {}
+
+    for g in range(0, len(names), group_size):
+        group = names[g : g + group_size]
+        V = group_size  # fixed batch: pad short groups with inactive slots
+        T_max = max(len(recs[v]) for v in group)
+        state = pipeline.init_state(V)
+
+        # Seed prev with each video's frame 0 (scored frames start at 1).
+        decoded0 = _decode_images([recs[v][0].image_path for v in group])
+        nh, nw = decoded0.shape[1:3]
+        prev_np = np.zeros((V, nh, nw, 3), np.uint8)
+        prev_np[: len(group)] = decoded0
+        prev = jnp.asarray(prev_np)
+
+        aae_s = np.zeros((V,), np.float64)
+        auc_s = np.zeros((V,), np.float64)
+        cnt = np.zeros((V,), np.float64)
+
+        for s in range(1, T_max, chunk_len):
+            frames_c = np.zeros((V, chunk_len, nh, nw, 3), np.uint8)
+            fix_c = np.zeros((V, chunk_len), np.float32)
+            gaze_c = np.zeros((V, chunk_len, 2), np.float32)
+            valid_c = np.zeros((V, chunk_len), np.float32)
+            flow_c = None
+            for vi, v in enumerate(group):
+                rs = recs[v][s : s + chunk_len]
+                if not rs:
+                    continue
+                imgs = _decode_images([r.image_path for r in rs])
+                frames_c[vi, : len(rs)] = imgs
+                fix_c[vi, : len(rs)] = [r.fixation for r in rs]
+                gaze_c[vi, : len(rs)] = [
+                    (r.gaze[0] * tw / nw, r.gaze[1] * th / nh) for r in rs
+                ]
+                valid_c[vi, : len(rs)] = [float(r.gaze_valid) for r in rs]
+                if use_precomputed_flow:
+                    fl = _decode_flow_images(list(rs))
+                    if flow_c is None:
+                        flow_c = np.full(
+                            (V, chunk_len) + fl.shape[1:], 128, np.uint8
+                        )
+                    flow_c[vi, : len(rs)] = fl
+            args = [
+                variables, state, prev,
+                jnp.asarray(frames_c), jnp.asarray(fix_c),
+                jnp.asarray(gaze_c), jnp.asarray(valid_c),
+            ]
+            if use_precomputed_flow:
+                if flow_c is None:  # whole chunk past every video's end
+                    flow_c = np.full((V, chunk_len, nh, nw, 2), 128, np.uint8)
+                args.append(jnp.asarray(flow_c))
+            state, prev, sums = chunk_fn(*args)
+            aae_s += np.asarray(sums["aae"], np.float64)
+            auc_s += np.asarray(sums["auc"], np.float64)
+            cnt += np.asarray(sums["count"], np.float64)
+
+        for vi, v in enumerate(group):
+            n = max(cnt[vi], 1e-9)
+            results[v] = (float(aae_s[vi] / n), float(auc_s[vi] / n), int(cnt[vi]))
+    return results

@@ -108,3 +108,71 @@ class TestGTEAEval:
         out = capsys.readouterr().out
         assert "Alice_Pizza" in out      # per-video breakdown
         assert "AAE_deg" in out
+
+    def test_eval_is_true_sequential_rollout(self, fake_root, save_dir, capsys):
+        """The CLI's --eval must equal a hand-rolled frame-by-frame
+        ``pipeline.step`` rollout (LSTM state carried across the video,
+        fixsac-gated, AT pooled at the SP argmax — SURVEY §3.4), proving
+        eval is NOT teacher-forced and the chunk/group padding in
+        evaluation/rollout.py is exact."""
+        import ast
+
+        import jax
+        import jax.numpy as jnp
+
+        from gaze_tpu.core.checkpoint import save_checkpoint
+        from gaze_tpu.data.native_io import decode_batch
+        from gaze_tpu.evaluation.metrics import aae, auc_judd
+        from gaze_tpu.models.pipeline import GazePipeline
+        from gaze_tpu.train.at import create_at_state
+        from gaze_tpu.train.lf import create_lf_state
+        from gaze_tpu.train.sp import create_sp_state
+
+        args = cli.build_argparser().parse_args(
+            ["--image_size", "32", "--batch_size", "2"]
+        )
+        cfg = cli.make_config(args)
+        pipeline = GazePipeline(cfg)
+        rng = jax.random.key(0)
+        sp_state = create_sp_state(rng, pipeline)
+        at_state = create_at_state(rng, pipeline)
+        lf_state = create_lf_state(rng, pipeline)
+        save_checkpoint(os.path.join(save_dir, "sp"), 0, sp_state)
+        save_checkpoint(os.path.join(save_dir, "at"), 0, at_state)
+        save_checkpoint(os.path.join(save_dir, "lf"), 0, lf_state)
+
+        run_cli(["--eval", "--data_root", fake_root, "--test_subject", "Alice",
+                 "--save_dir", save_dir, "--image_size", "32",
+                 "--batch_size", "2"])
+        lines = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("{")]
+        cli_result = ast.literal_eval(lines[-1])
+
+        # Hand-rolled rollout over the single test video, B=1, no padding.
+        variables = {
+            "sp": {"params": sp_state.params, "batch_stats": sp_state.batch_stats},
+            "at": {"params": at_state.params},
+            "lf": {"params": lf_state.params},
+        }
+        vdir = os.path.join(fake_root, "images", "Alice_Pizza")
+        frames = decode_batch(
+            [os.path.join(vdir, n) for n in sorted(os.listdir(vdir))]
+        )
+        gaze = np.array([[10 + i, 12 + i] for i in range(6)], np.float32)
+        gaze *= [32 / frames.shape[2], 32 / frames.shape[1]]
+        fixsac = np.array([1, 1, 0, 1, 1, 1], np.float32)
+        state = pipeline.init_state(1)
+        step_fn = jax.jit(pipeline.step)
+        aaes, aucs = [], []
+        for t in range(1, 6):
+            state, out = step_fn(
+                variables, state,
+                jnp.asarray(frames[t - 1 : t]), jnp.asarray(frames[t : t + 1]),
+                jnp.asarray(fixsac[t : t + 1]),
+            )
+            aaes.append(float(aae(out["heatmap"], jnp.asarray(gaze[t : t + 1]),
+                                  cfg.camera)[0]))
+            aucs.append(float(auc_judd(out["heatmap"],
+                                       jnp.asarray(gaze[t : t + 1]))[0]))
+        assert cli_result["AAE_deg"] == pytest.approx(np.mean(aaes), abs=1e-3)
+        assert cli_result["AUC"] == pytest.approx(np.mean(aucs), abs=1e-3)
