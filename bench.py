@@ -107,11 +107,19 @@ def main() -> None:
     clip_fn = make_clip_fn(pipeline)
 
     B, T = args.batch, args.frames
-    frames, _, fixsac = generate_sequence(
-        SyntheticSpec(num_frames=T + 1, height=args.image_size, width=args.image_size)
-    )
-    frames_b = jnp.asarray(np.broadcast_to(frames[None], (B,) + frames.shape).copy())
-    fixsac_b = jnp.asarray(np.broadcast_to(fixsac[None], (B,) + fixsac.shape).copy())
+    # Distinct per-stream content (cycled over G generated sequences):
+    # throughput is content-independent on this dense pipeline, but
+    # identical broadcast clips would leave that unproven.
+    G = min(B, 16)
+    seqs = [
+        generate_sequence(
+            SyntheticSpec(num_frames=T + 1, height=args.image_size,
+                          width=args.image_size, seed=s)
+        )
+        for s in range(G)
+    ]
+    frames_b = jnp.asarray(np.stack([seqs[i % G][0] for i in range(B)]))
+    fixsac_b = jnp.asarray(np.stack([seqs[i % G][2] for i in range(B)]))
 
     # NOTE on timing: this environment reaches the TPU through a relay
     # where block_until_ready() does not synchronize — only a D2H

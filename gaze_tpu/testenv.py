@@ -28,6 +28,10 @@ _SENTINEL = "GAZE_TPU_TEST_REEXEC"
 def _needs_sanitizing() -> bool:
     if os.environ.get(_SENTINEL) == "1":
         return False
+    if os.environ.get("GAZE_TPU_HW_TESTS") == "1":
+        # On-hardware mode: keep the TPU backend so the `tpu`-marked
+        # compiled-kernel tests (tests/test_tpu_kernels.py) can run.
+        return False
     pythonpath = os.environ.get("PYTHONPATH", "")
     return ".axon_site" in pythonpath or os.environ.get("JAX_PLATFORMS", "") not in (
         "cpu",

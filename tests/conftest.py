@@ -13,7 +13,11 @@ import sys
 
 _SENTINEL = "GAZE_TPU_TEST_REEXEC"
 
-if os.environ.get(_SENTINEL) != "1" and ".axon_site" in os.environ.get("PYTHONPATH", ""):
+if (
+    os.environ.get(_SENTINEL) != "1"
+    and os.environ.get("GAZE_TPU_HW_TESTS") != "1"
+    and ".axon_site" in os.environ.get("PYTHONPATH", "")
+):
     env = dict(os.environ)
     env[_SENTINEL] = "1"
     parts = [
@@ -33,8 +37,12 @@ import jax  # noqa: E402
 jax.config.update("jax_default_matmul_precision", "float32")
 
 # Persistent compile cache (CPU-specific dir — entries compiled through
-# the axon remote-compile path target different machine features).
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
+# the axon remote-compile path target different machine features; the
+# on-hardware GAZE_TPU_HW_TESTS mode shares bench's TPU cache instead).
+_CACHE_DIR = os.path.join(
+    os.path.dirname(__file__), "..",
+    ".jax_cache" if jax.default_backend() == "tpu" else ".jax_cache_cpu",
+)
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

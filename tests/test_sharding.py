@@ -44,3 +44,57 @@ class TestMesh:
         xs = jax.device_put(x, batch_sharding(mesh))
         out = jax.jit(lambda a: jnp.sum(a), out_shardings=replicated(mesh))(xs)
         np.testing.assert_allclose(float(out), x.sum())
+
+
+class TestMultiHostAssembly:
+    """VERDICT r1 weak#6: exercise the multi-host input-assembly helpers
+    beyond no-ops, on the virtual 8-device mesh."""
+
+    def test_host_sharded_array_matches_and_shards(self):
+        import numpy as np
+
+        from gaze_tpu.core.distributed import global_mesh, host_sharded_array
+
+        mesh = global_mesh()
+        x = np.arange(mesh.size * 4, dtype=np.float32).reshape(mesh.size, 4)
+        arr = host_sharded_array(x, mesh)
+        assert arr.shape == x.shape
+        np.testing.assert_array_equal(np.asarray(arr), x)
+        # genuinely batch-sharded: one row-block per device, correct rows
+        assert len(arr.addressable_shards) == mesh.size
+        for sh in arr.addressable_shards:
+            np.testing.assert_array_equal(np.asarray(sh.data), x[sh.index])
+
+    def test_simulated_host_slices_partition_batch(self, monkeypatch):
+        import jax
+
+        from gaze_tpu.core import distributed
+
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        covered = []
+        for pid in range(4):
+            monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+            s = distributed.local_batch_slice(16)
+            covered.extend(range(s.start, s.stop))
+        assert covered == list(range(16))  # exact disjoint cover, in order
+
+    def test_assembled_array_feeds_dp_step(self):
+        """host_sharded_array output must be consumable by a sharded jit
+        computation with the same result as host math."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gaze_tpu.core.distributed import global_mesh, host_sharded_array
+
+        mesh = global_mesh()
+        x = np.random.default_rng(0).normal(size=(mesh.size * 2, 3)).astype(np.float32)
+        arr = host_sharded_array(x, mesh)
+
+        @jax.jit
+        def f(a):
+            return jnp.sum(a * a, axis=-1).sum()
+
+        np.testing.assert_allclose(float(f(arr)), float((x * x).sum(-1).sum()),
+                                   rtol=1e-5)
