@@ -62,21 +62,28 @@ def compare_goldens(
     return ok, report
 
 
-def pipeline_module_outputs(pipeline, variables, state, prev_u8, cur_u8, fixation):
+def pipeline_module_outputs(
+    pipeline, variables, state, prev_u8, cur_u8, fixation, flow_img=None
+):
     """Run one fused step and return every module-boundary tensor as the
-    golden bundle (the reference's dumped-to-disk stage outputs)."""
+    golden bundle (the reference's dumped-to-disk stage outputs).
+
+    With ``flow_img`` (quantized uint8 flow images), the temporal stream
+    consumes them instead of the on-TPU TV-L1 solve — the strict-parity
+    input mode for comparing against a reference fed the same flow JPEGs.
+    """
     import jax.numpy as jnp
 
     from gaze_tpu.models.at import fixation_pool
     from gaze_tpu.ops.heatmap import heatmap_argmax
 
     cfg = pipeline.config
-    rgb_in, flow_in = pipeline.preprocess_pair(prev_u8, cur_u8)
+    rgb_in, flow_in = pipeline.preprocess_pair(prev_u8, cur_u8, flow_img)
     sal, feat = pipeline.sp.apply(variables["sp"], rgb_in, flow_in)
     pool_pt = heatmap_argmax(sal)
     w = fixation_pool(feat, pool_pt, cfg.at)
     new_state, out = pipeline.step(
-        variables, state, prev_u8, cur_u8, fixation
+        variables, state, prev_u8, cur_u8, fixation, flow_img=flow_img
     )
     return {
         "rgb_in": rgb_in.astype(jnp.float32),

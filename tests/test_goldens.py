@@ -63,3 +63,42 @@ class TestModuleBoundaryDump:
             {k: np.asarray(v) for k, v in out2.items()}, load_goldens(p)
         )
         assert ok, f"parity path not deterministic: {report}"
+
+
+class TestFlowImageGoldens:
+    def test_flow_image_path_dumpable_and_consumed(self):
+        """Goldens from the precomputed-flow parity mode: the bundle must
+        be reproducible and its flow_in must come from the supplied flow
+        image, not a TV-L1 solve."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from gaze_tpu.data.synthetic import SyntheticSpec, generate_sequence
+        from gaze_tpu.models.pipeline import GazePipeline
+        from gaze_tpu.ops.preprocess import normalize_flow_image, to_float
+        from tests.test_train import tiny_config
+
+        pipeline = GazePipeline(tiny_config())
+        variables = pipeline.init_variables(jax.random.key(0))
+        frames, _, fixsac = generate_sequence(
+            SyntheticSpec(num_frames=3, height=32, width=32, blob_sigma=3.0)
+        )
+        prev, cur = jnp.asarray(frames[:2]), jnp.asarray(frames[1:3])
+        fix = jnp.asarray(fixsac[1:3])
+        rng = np.random.default_rng(0)
+        flow_img = jnp.asarray(rng.integers(0, 255, (2, 32, 32, 2), np.uint8))
+        state = pipeline.init_state(2)
+        out = pipeline_module_outputs(
+            pipeline, variables, state, prev, cur, fix, flow_img=flow_img
+        )
+        expect = normalize_flow_image(to_float(flow_img))
+        np.testing.assert_allclose(
+            np.asarray(out["flow_in"]), np.asarray(expect), atol=1e-6
+        )
+        out2 = pipeline_module_outputs(
+            pipeline, variables, pipeline.init_state(2), prev, cur, fix,
+            flow_img=flow_img,
+        )
+        for k in out:
+            np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(out2[k]))

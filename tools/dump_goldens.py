@@ -27,6 +27,12 @@ def main() -> int:
     p.add_argument("--atol", type=float, default=1e-5)
     p.add_argument("--sp_ckpt", type=str, default=None,
                    help="optional SP checkpoint (random init otherwise)")
+    p.add_argument("--flow_images", action="store_true",
+                   help="feed synthetic quantized flow IMAGES to the "
+                        "temporal stream (the reference's data path) "
+                        "instead of solving TV-L1 on-TPU — dumps goldens "
+                        "for the precomputed-flow parity mode; the flow "
+                        "images themselves are stored under 'flow_img'")
     args = p.parse_args()
     if not args.out and not args.compare:
         p.error("need --out or --compare")
@@ -84,8 +90,23 @@ def main() -> int:
     fix = jnp.asarray(fixsac[1 : args.batch + 1])
     state = pipeline.init_state(args.batch)
 
-    out = pipeline_module_outputs(pipeline, variables, state, prev, cur, fix)
+    flow_img = None
+    if args.flow_images:
+        # Deterministic stand-in for dense_flow JPEGs: solve TV-L1 once,
+        # quantize with the documented bound — the exact byte format a
+        # reference-exported flow image arrives in.
+        from gaze_tpu.ops.preprocess import rgb_to_gray, to_float
+        from gaze_tpu.ops.tvl1 import quantize_flow, tvl1_flow
+
+        g0, g1 = rgb_to_gray(to_float(prev)), rgb_to_gray(to_float(cur))
+        flow_img = quantize_flow(tvl1_flow(g0, g1, cfg.tvl1), cfg.tvl1.quant_bound)
+
+    out = pipeline_module_outputs(
+        pipeline, variables, state, prev, cur, fix, flow_img=flow_img
+    )
     out = {k: np.asarray(v) for k, v in out.items()}
+    if flow_img is not None:
+        out["flow_img"] = np.asarray(flow_img)
 
     if args.out:
         save_goldens(args.out, out)
