@@ -99,3 +99,39 @@ class TestPipelinedSubmit:
         last = srv_s.flush()
         np.testing.assert_allclose(last["gaze"], tick_results[-1]["gaze"])
         assert srv_s.flush() is None
+
+
+class TestServingIDT:
+    def test_idt_labels_from_gaze_history(self, served):
+        """Self-running mode: fixation bits derive from the trailing
+        predicted-gaze window (dispersion under threshold + full window),
+        so a new fixation after a saccade re-fires the LSTM onset."""
+        cfg, variables, frames, fixsac = served
+        srv = StreamServer(cfg, variables, max_streams=3,
+                           idt_dispersion_px=5.0, idt_window=3)
+        srv.attach(0)
+        srv.attach(1)
+        srv.attach(2)
+        # slot 0: steady gaze -> fixation; slot 1: moving -> saccade;
+        # slot 2: window not yet full (one NaN) -> no fixation
+        srv._gaze_hist[0] = [[10, 10], [11, 10], [10, 11]]
+        srv._gaze_hist[1] = [[2, 2], [10, 10], [20, 20]]
+        srv._gaze_hist[2] = [[np.nan, np.nan], [10, 10], [10, 10]]
+        np.testing.assert_array_equal(srv._idt_labels(), [1.0, 0.0, 0.0])
+
+    def test_default_mode_advances_lstm_on_new_fixations(self, served):
+        """With fixation_source='idt' (default), a steady predicted-gaze
+        stream eventually raises a fixation onset — unlike the 'always'
+        mode, whose single onset freezes attention for the stream's life."""
+        cfg, variables, frames, fixsac = served
+        srv = StreamServer(cfg, variables, max_streams=1,
+                           idt_dispersion_px=64.0, idt_window=2)
+        srv.attach(0)
+        onsets = 0
+        prev_fix = 0.0
+        for t in range(len(frames)):
+            srv.tick(frames[t : t + 1])
+            fix = float(np.asarray(srv._state.prev_fix)[0])
+            onsets += int(fix == 1.0 and prev_fix == 0.0)
+            prev_fix = fix
+        assert onsets >= 1  # the LSTM actually advanced in self-running mode
