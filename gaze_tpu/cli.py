@@ -127,6 +127,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--image_size", type=str, default="224",
                    help="model grid: N (square) or HxW (e.g. 288x384 for "
                         "4:3 GTEA native aspect)")
+    p.add_argument("--camera", choices=["gtea_plus", "gtea"],
+                   default="gtea_plus",
+                   help="AAE camera geometry preset: GTEA Gaze+ (960x720) "
+                        "or original GTEA Gaze (640x480) — the reference "
+                        "reports both datasets")
     p.add_argument("--dp_devices", type=int, default=None,
                    help="devices for data parallelism (default: all)")
     p.add_argument("--log_every", type=int, default=20)
@@ -154,11 +159,19 @@ def parse_image_size(spec: str) -> Tuple[int, int]:
 
 
 def make_config(args) -> PipelineConfig:
+    from gaze_tpu.core.config import CameraConfig
+
     base = default_config()
     ih, iw = parse_image_size(args.image_size)
+    cam = (
+        CameraConfig.gtea_gaze()
+        if getattr(args, "camera", "gtea_plus") == "gtea"
+        else CameraConfig.gtea_gaze_plus()
+    )
     return dataclasses.replace(
         base,
         image=dataclasses.replace(base.image, height=ih, width=iw),
+        camera=cam,
         train=dataclasses.replace(
             base.train,
             batch_size=args.batch_size,
@@ -180,7 +193,10 @@ def _clip_batches(args, cfg: PipelineConfig, clip_len: int) -> Iterator[Dict]:
     if args.data_root:
         from gaze_tpu.data.gtea import clip_batches
 
-        manifest = build_manifest(args.data_root)
+        manifest = build_manifest(
+            args.data_root,
+            native_hw=(cfg.camera.native_height, cfg.camera.native_width),
+        )
         subject = args.test_subject or manifest.subjects()[0]
         train_recs, _ = manifest.split_leave_one_out(subject)
         return clip_batches(
@@ -200,7 +216,10 @@ def _batches(args, cfg: PipelineConfig, train: bool) -> Iterator[Dict]:
     """Unified batch source: GTEA when --data_root is given, synthetic
     otherwise."""
     if args.data_root:
-        manifest = build_manifest(args.data_root)
+        manifest = build_manifest(
+            args.data_root,
+            native_hw=(cfg.camera.native_height, cfg.camera.native_width),
+        )
         subject = args.test_subject or manifest.subjects()[0]
         train_recs, test_recs = manifest.split_leave_one_out(subject)
         recs = train_recs if train else test_recs
@@ -276,7 +295,10 @@ def _extract_video_weights(args, cfg, pipeline, sp_vars) -> List[np.ndarray]:
     extract = extract_fixation_weights(pipeline)
     video_w: List[np.ndarray] = []
     if args.data_root:
-        manifest = build_manifest(args.data_root)
+        manifest = build_manifest(
+            args.data_root,
+            native_hw=(cfg.camera.native_height, cfg.camera.native_width),
+        )
         subject = args.test_subject or manifest.subjects()[0]
         train_recs, _ = manifest.split_leave_one_out(subject)
         for v in sorted({r.video for r in train_recs}):
@@ -453,7 +475,10 @@ def run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> Dict[str, float
 
     per_video = {}
     if args.data_root:
-        manifest = build_manifest(args.data_root)
+        manifest = build_manifest(
+            args.data_root,
+            native_hw=(cfg.camera.native_height, cfg.camera.native_width),
+        )
         subject = args.test_subject or manifest.subjects()[0]
         _, test_recs = manifest.split_leave_one_out(subject)
         for v in sorted({r.video for r in test_recs}):
@@ -485,7 +510,10 @@ def _run_eval_rollout(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> Dict[s
     variables = {"sp": sp_vars, "at": at_vars, "lf": {"params": lf_state.params}}
     per_video: Dict[str, Tuple[float, float]] = {}
     if args.data_root:
-        manifest = build_manifest(args.data_root)
+        manifest = build_manifest(
+            args.data_root,
+            native_hw=(cfg.camera.native_height, cfg.camera.native_width),
+        )
         subject = args.test_subject or manifest.subjects()[0]
         _, test_recs = manifest.split_leave_one_out(subject)
         vids: Dict[str, List] = {}

@@ -176,3 +176,18 @@ class TestGTEAEval:
                                        jnp.asarray(gaze[t : t + 1]))[0]))
         assert cli_result["AAE_deg"] == pytest.approx(np.mean(aaes), abs=1e-3)
         assert cli_result["AUC"] == pytest.approx(np.mean(aucs), abs=1e-3)
+
+
+class TestCLIConfig:
+    def test_image_size_hxw(self):
+        args = cli.build_argparser().parse_args(["--image_size", "288x384"])
+        cfg = cli.make_config(args)
+        assert (cfg.image.height, cfg.image.width) == (288, 384)
+
+    def test_camera_preset(self):
+        args = cli.build_argparser().parse_args(["--camera", "gtea"])
+        cfg = cli.make_config(args)
+        assert (cfg.camera.native_width, cfg.camera.native_height) == (640, 480)
+        args = cli.build_argparser().parse_args([])
+        cfg = cli.make_config(args)
+        assert (cfg.camera.native_width, cfg.camera.native_height) == (960, 720)
