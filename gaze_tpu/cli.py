@@ -79,7 +79,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--train_lstm", action="store_true", help="train the AT LSTM")
     p.add_argument("--train_late", action="store_true", help="train the LF head")
     p.add_argument("--extract_late", action="store_true",
-                   help="kept for CLI parity; extraction streams in-memory")
+                   help="dump frozen SP saliency + AT attention maps to "
+                        "<save_dir>/maps/<video>.npz (the reference's "
+                        "map-extraction stage; the in-memory LF path does "
+                        "not need it, but the files match the reference "
+                        "workflow)")
     p.add_argument("--eval", action="store_true",
                    help="evaluate the full pipeline: per-video sequential "
                         "rollout (fixsac-gated LSTM state carried across "
@@ -442,6 +446,58 @@ def run_train_late(args, cfg, pipeline, mesh, sp_vars, at_vars) -> Dict:
     return restore_best_or_latest(ckpt_dir, state)
 
 
+def run_extract_late(args, cfg, pipeline, sp_vars, at_vars) -> None:
+    """The reference's map-extraction stage (SURVEY §3.3): dump frozen
+    SP saliency + AT attention maps per video to <save_dir>/maps/.
+
+    The in-memory LF path never reads these — they exist so reference
+    users migrating their workflow find the same on-disk artifacts
+    (per-video arrays keyed by frame index, float16 to halve the IO).
+    """
+    from gaze_tpu.train.lf import make_map_extract_step
+
+    step = make_map_extract_step(pipeline, {"sp": sp_vars, "at": at_vars})
+    out_dir = os.path.join(args.save_dir, "maps")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(video: str, batches) -> None:
+        sal, amap, idx = [], [], []
+        for batch in batches:
+            m = step({k: v for k, v in batch.items() if k != "index"})
+            sal.append(np.asarray(m["saliency"], np.float16))
+            amap.append(np.asarray(m["attention"], np.float16))
+            idx.append(np.asarray(batch.get("index", np.arange(len(sal[-1])))))
+        if not sal:
+            return
+        path = os.path.join(out_dir, f"{video}.npz")
+        np.savez_compressed(
+            path,
+            saliency=np.concatenate(sal),
+            attention=np.concatenate(amap),
+            index=np.concatenate(idx),
+        )
+        print({"extracted": video, "frames": sum(len(s) for s in sal),
+               "path": path})
+
+    if args.data_root:
+        manifest = build_manifest(
+            args.data_root,
+            native_hw=(cfg.camera.native_height, cfg.camera.native_width),
+        )
+        subject = args.test_subject or manifest.subjects()[0]
+        train_recs, test_recs = manifest.split_leave_one_out(subject)
+        all_recs = train_recs + test_recs  # the reference extracts all frames
+        for v in sorted({r.video for r in all_recs}):
+            recs = [r for r in all_recs if r.video == v]
+            dump(v, pair_batches(
+                recs, args.batch_size, (cfg.image.height, cfg.image.width),
+                shuffle=False, drop_remainder=False,
+                use_precomputed_flow=_flow_mode(args),
+            ))
+    else:
+        dump("synthetic", _batches(args, cfg, train=False))
+
+
 def run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> Dict[str, float]:
     """Full-pipeline evaluation; per-video AAE/AUC breakdown plus the
     average, matching the reference's report format (SURVEY.md §3.5).
@@ -578,7 +634,7 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     if args.train_sp:
         sp_vars = run_train_sp(args, cfg, pipeline, mesh)
-    if args.train_lstm or args.train_late or args.eval:
+    if args.train_lstm or args.train_late or args.eval or args.extract_late:
         if sp_vars is None:
             state = create_sp_state(rng, pipeline)
             state = restore_best_or_latest(
@@ -587,13 +643,15 @@ def main(argv: Optional[List[str]] = None) -> None:
             sp_vars = {"params": state.params, "batch_stats": state.batch_stats}
     if args.train_lstm:
         at_vars = run_train_lstm(args, cfg, pipeline, mesh, sp_vars)
-    if args.train_late or args.eval:
+    if args.train_late or args.eval or args.extract_late:
         if at_vars is None:
             state = create_at_state(rng, pipeline)
             state = restore_checkpoint(
                 args.at_ckpt or os.path.join(args.save_dir, "at"), state
             )
             at_vars = {"params": state.params}
+    if args.extract_late:
+        run_extract_late(args, cfg, pipeline, sp_vars, at_vars)
     if args.train_late:
         lf_state = run_train_late(args, cfg, pipeline, mesh, sp_vars, at_vars)
     if args.eval:

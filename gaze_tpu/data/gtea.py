@@ -299,7 +299,9 @@ def pair_batches(
         fixsac = np.asarray([b.fixation for _, b in chunk], dtype=np.float32)
         valid = np.asarray([b.gaze_valid for _, b in chunk], dtype=np.float32)
         batch = {"prev": prev, "cur": cur, "gaze": gaze, "fixsac": fixsac,
-                 "valid": valid}
+                 "valid": valid,
+                 # host-side metadata (not fed to jit steps)
+                 "index": np.asarray([b.index for _, b in chunk], np.int64)}
         if use_precomputed_flow:
             batch["flow_img"] = _decode_flow_images([b for _, b in chunk])
         yield batch

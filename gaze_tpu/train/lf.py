@@ -70,6 +70,20 @@ def make_lf_train_step(
     return jit_dp_step(step, mesh)
 
 
+def make_map_extract_step(pipeline: GazePipeline, frozen: Dict[str, Any]):
+    """The reference's ``--extract_late`` stage (SURVEY §3.3): frozen
+    SP saliency + teacher-forced AT attention maps for a batch, ready to
+    be dumped to disk. The in-memory LF path never needs this — it exists
+    for users of the reference workflow who expect map files on disk."""
+
+    @jax.jit
+    def step(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        sal, amap = _frozen_maps(pipeline, frozen, batch)
+        return {"saliency": sal, "attention": amap}
+
+    return step
+
+
 def make_lf_rollout_train_step(
     pipeline: GazePipeline, frozen: Dict[str, Any], mesh: Optional[Mesh] = None
 ):

@@ -178,6 +178,38 @@ class TestGTEAEval:
         assert cli_result["AUC"] == pytest.approx(np.mean(aucs), abs=1e-3)
 
 
+class TestExtractLate:
+    def test_dumps_per_video_maps(self, save_dir, capsys, tmp_path):
+        """--extract_late writes the reference workflow's on-disk map
+        artifacts: per-video saliency+attention+frame-index arrays."""
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        root = tmp_path / "gtea"
+        for video in ["Alice_Pizza", "Bob_Burger"]:
+            vdir = root / "images" / video
+            vdir.mkdir(parents=True)
+            for i in range(4):
+                Image.fromarray(
+                    rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+                ).save(vdir / f"{i:06d}.jpg")
+            (root / "gaze").mkdir(exist_ok=True)
+            with open(root / "gaze" / f"{video}.txt", "w") as f:
+                f.write("10 12\n" * 4)
+            (root / "fixsac").mkdir(exist_ok=True)
+            with open(root / "fixsac" / f"{video}.txt", "w") as f:
+                f.write("1\n" * 4)
+        run_cli(["--extract_late", "--data_root", str(root),
+                 "--test_subject", "Alice", "--save_dir", save_dir,
+                 "--image_size", "32", "--batch_size", "2"])
+        for video in ["Alice_Pizza", "Bob_Burger"]:
+            z = np.load(os.path.join(save_dir, "maps", f"{video}.npz"))
+            assert z["saliency"].shape == (3, 32, 32)   # pairs (0,1)..(2,3)
+            assert z["attention"].shape == (3, 32, 32)
+            np.testing.assert_array_equal(z["index"], [1, 2, 3])
+            assert np.isfinite(z["saliency"]).all()
+
+
 class TestCLIConfig:
     def test_image_size_hxw(self):
         args = cli.build_argparser().parse_args(["--image_size", "288x384"])
