@@ -498,18 +498,20 @@ def run_extract_late(args, cfg, pipeline, sp_vars, at_vars) -> None:
         dump("synthetic", _batches(args, cfg, train=False))
 
 
-def run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> Dict[str, float]:
+def run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state, mesh=None) -> Dict[str, float]:
     """Full-pipeline evaluation; per-video AAE/AUC breakdown plus the
     average, matching the reference's report format (SURVEY.md §3.5).
 
     Default = the true §3.4 sequential rollout (evaluation/rollout.py):
     LSTM state carried across each video, gated on fixation onsets, AT
     pooled at the SP argmax — the reference's ``LF.val()`` semantics.
-    ``--eval_teacher_forced`` switches to the stateless GT-gaze-pooled
-    diagnostic (explicitly NOT the reference's inference path).
+    With a mesh, video groups shard over the data axis. ``--eval_teacher_forced``
+    switches to the stateless GT-gaze-pooled diagnostic (explicitly NOT
+    the reference's inference path).
     """
     if not args.eval_teacher_forced:
-        return _run_eval_rollout(args, cfg, pipeline, sp_vars, at_vars, lf_state)
+        return _run_eval_rollout(args, cfg, pipeline, sp_vars, at_vars,
+                                 lf_state, mesh=mesh)
     frozen = {"sp": sp_vars, "at": at_vars}
     eval_fn = make_lf_eval_step(pipeline, frozen)
 
@@ -559,7 +561,8 @@ def run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> Dict[str, float
     return result
 
 
-def _run_eval_rollout(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> Dict[str, float]:
+def _run_eval_rollout(args, cfg, pipeline, sp_vars, at_vars, lf_state,
+                      mesh=None) -> Dict[str, float]:
     """The §3.4 sequential-rollout evaluation (see run_eval)."""
     from gaze_tpu.evaluation.rollout import rollout_eval_arrays, rollout_eval_videos
 
@@ -578,6 +581,7 @@ def _run_eval_rollout(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> Dict[s
         results = rollout_eval_videos(
             pipeline, variables, vids,
             use_precomputed_flow=_flow_mode(args),
+            mesh=mesh,
         )
         for v in sorted(results):
             aae_v, auc_v, n = results[v]
@@ -603,6 +607,7 @@ def _run_eval_rollout(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> Dict[s
         aae_s, auc_s, cnt = rollout_eval_arrays(
             pipeline, variables,
             np.stack(frames), np.stack(gaze), np.stack(fixsac),
+            mesh=mesh,
         )
         for i in range(n_videos):
             per_video[f"synthetic_{i}"] = (
@@ -660,7 +665,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             lf_state = restore_best_or_latest(
                 args.lf_ckpt or os.path.join(args.save_dir, "lf"), state
             )
-        run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state)
+        run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state, mesh=mesh)
 
 
 if __name__ == "__main__":

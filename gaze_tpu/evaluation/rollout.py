@@ -27,12 +27,17 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh
 
 from gaze_tpu.evaluation.metrics import aae, auc_judd
 from gaze_tpu.models.pipeline import GazePipeline
 
 
-def make_rollout_chunk_fn(pipeline: GazePipeline, with_flow: bool = False) -> Callable:
+def make_rollout_chunk_fn(
+    pipeline: GazePipeline,
+    with_flow: bool = False,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
     """jit-compiled chunk evaluator.
 
     Signature: ``(variables, state, prev, frames, fixsac, gaze, valid
@@ -49,6 +54,13 @@ def make_rollout_chunk_fn(pipeline: GazePipeline, with_flow: bool = False) -> Ca
 
     ``variables`` is the full {"sp","at","lf"} tree; AT pooling is at the
     SP argmax (``gaze_xy=None`` in ``pipeline.step``).
+
+    With ``mesh``, the video axis V is sharded over the mesh's data axis
+    (variables replicated): every per-video argument — recurrent state,
+    prev frame, chunks, metric sums — is batch-leading, so eval scales
+    across chips with zero inter-chip communication (each chip rolls out
+    its own video slots; only the final (V,) sums come back to host).
+    V must be a multiple of ``mesh.size`` (callers pad groups).
     """
     cfg = pipeline.config
 
@@ -86,7 +98,19 @@ def make_rollout_chunk_fn(pipeline: GazePipeline, with_flow: bool = False) -> Ca
         }
         return state, prev, sums
 
-    return jax.jit(chunk_fn)
+    if mesh is None:
+        return jax.jit(chunk_fn)
+    from gaze_tpu.parallel.mesh import batch_sharding, replicated
+
+    rep, bsh = replicated(mesh), batch_sharding(mesh)
+    n_in = 8 if with_flow else 7
+    return jax.jit(
+        chunk_fn,
+        # Pytree-prefix shardings: variables replicated, everything else
+        # (state pytree, prev, chunk tensors) sharded on the leading V.
+        in_shardings=(rep,) + (bsh,) * (n_in - 1),
+        out_shardings=(bsh, bsh, bsh),
+    )
 
 
 def rollout_eval_arrays(
@@ -97,6 +121,7 @@ def rollout_eval_arrays(
     fixsac: np.ndarray,
     valid: Optional[np.ndarray] = None,
     chunk_len: int = 32,
+    mesh: Optional[Mesh] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Rollout-evaluate V equal-length in-memory videos.
 
@@ -106,6 +131,8 @@ def rollout_eval_arrays(
       gaze:   (V, T, 2) GT gaze in model-grid pixels.
       fixsac: (V, T) fixation bits.
       valid:  optional (V, T) gaze-validity mask (default all valid).
+      mesh:   optional data mesh — videos shard over it (V is padded up
+        to a multiple of the mesh size with inactive slots).
 
     Returns:
       (aae_sum, auc_sum, count) arrays of shape (V,) — divide for means.
@@ -113,7 +140,15 @@ def rollout_eval_arrays(
     V, T = frames.shape[:2]
     if valid is None:
         valid = np.ones((V, T), np.float32)
-    chunk_fn = make_rollout_chunk_fn(pipeline)
+    V_real = V
+    if mesh is not None and V % mesh.size:
+        pad_v = mesh.size - V % mesh.size
+        frames = np.concatenate([frames, np.zeros((pad_v,) + frames.shape[1:], frames.dtype)])
+        gaze = np.concatenate([gaze, np.zeros((pad_v,) + gaze.shape[1:], gaze.dtype)])
+        fixsac = np.concatenate([fixsac, np.zeros((pad_v,) + fixsac.shape[1:], fixsac.dtype)])
+        valid = np.concatenate([valid, np.zeros((pad_v, T), np.float32)])
+        V = V + pad_v
+    chunk_fn = make_rollout_chunk_fn(pipeline, mesh=mesh)
     state = pipeline.init_state(V)
     prev = jnp.asarray(frames[:, 0])
     aae_s = np.zeros((V,), np.float64)
@@ -141,7 +176,7 @@ def rollout_eval_arrays(
         aae_s += np.asarray(sums["aae"], np.float64)
         auc_s += np.asarray(sums["auc"], np.float64)
         cnt += np.asarray(sums["count"], np.float64)
-    return aae_s, auc_s, cnt
+    return aae_s[:V_real], auc_s[:V_real], cnt[:V_real]
 
 
 def rollout_eval_videos(
@@ -151,18 +186,23 @@ def rollout_eval_videos(
     chunk_len: int = 32,
     group_size: int = 8,
     use_precomputed_flow: Optional[bool] = None,
+    mesh: Optional[Mesh] = None,
 ) -> Dict[str, Tuple[float, float, int]]:
     """Rollout-evaluate GTEA videos from FrameRecord lists.
 
     Videos advance in lockstep groups of ``group_size`` (padded — one
     compiled program regardless of corpus shape); frames are decoded
     chunk-by-chunk on host so a full video never needs to fit in RAM.
+    With ``mesh``, each group's video slots shard over the data axis
+    (group_size is rounded up to a mesh-size multiple).
 
     Returns {video: (mean_aae_deg, mean_auc, frames_scored)}.
     """
     from gaze_tpu.data.gtea import _decode_flow_images, _decode_images
 
     cfg = pipeline.config
+    if mesh is not None and group_size % mesh.size:
+        group_size += mesh.size - group_size % mesh.size
     th, tw = cfg.image.height, cfg.image.width
     names = sorted(videos.keys())
     recs = {v: sorted(videos[v], key=lambda r: r.index) for v in names}
@@ -175,7 +215,9 @@ def rollout_eval_videos(
             rec_has_flow(r) for v in names for r in recs[v]
         )
 
-    chunk_fn = make_rollout_chunk_fn(pipeline, with_flow=use_precomputed_flow)
+    chunk_fn = make_rollout_chunk_fn(
+        pipeline, with_flow=use_precomputed_flow, mesh=mesh
+    )
     results: Dict[str, Tuple[float, float, int]] = {}
 
     for g in range(0, len(names), group_size):

@@ -60,3 +60,55 @@ class TestRolloutArrays:
         for a, b in zip(clean, dirty):
             np.testing.assert_allclose(a, b, rtol=1e-6)
         np.testing.assert_array_equal(clean[2], [7, 6])
+
+
+class TestRolloutSharded:
+    def test_mesh_sharded_matches_single_device(self, rollout_setup):
+        """Rollout eval sharded over the 8-device virtual mesh must agree
+        with the single-device path, including the inactive-slot padding
+        (2 real videos pad to 8 mesh slots)."""
+        from gaze_tpu.parallel.mesh import make_mesh
+
+        pipeline, variables, frames, gaze, fixsac = rollout_setup
+        single = rollout_eval_arrays(pipeline, variables, frames, gaze, fixsac)
+        mesh = make_mesh(8)
+        sharded = rollout_eval_arrays(
+            pipeline, variables, frames, gaze, fixsac, mesh=mesh
+        )
+        for a, b in zip(single, sharded):
+            assert a.shape == b.shape  # padding sliced back off
+            np.testing.assert_allclose(a, b, rtol=1e-5)
+
+    def test_videos_group_rounds_to_mesh(self, tmp_path, rollout_setup):
+        """rollout_eval_videos with a mesh pads the group to a mesh-size
+        multiple and still returns per-video numbers identical to the
+        unsharded run (fake on-disk GTEA videos)."""
+        from PIL import Image
+
+        from gaze_tpu.data.gtea import FrameRecord
+        from gaze_tpu.evaluation.rollout import rollout_eval_videos
+        from gaze_tpu.parallel.mesh import make_mesh
+
+        pipeline, variables, frames, gaze, fixsac = rollout_setup
+        videos = {}
+        for vi in range(2):
+            recs = []
+            for t in range(frames.shape[1]):
+                p = tmp_path / f"v{vi}_{t:04d}.jpg"
+                Image.fromarray(frames[vi, t]).save(p, quality=95)
+                recs.append(FrameRecord(
+                    video=f"v{vi}", index=t, image_path=str(p),
+                    flow_path=None,
+                    gaze=(float(gaze[vi, t, 0]), float(gaze[vi, t, 1])),
+                    fixation=float(fixsac[vi, t]),
+                ))
+            videos[f"v{vi}"] = recs
+        base = rollout_eval_videos(pipeline, variables, videos, group_size=3)
+        mesh = make_mesh(4)
+        sharded = rollout_eval_videos(
+            pipeline, variables, videos, group_size=3, mesh=mesh
+        )
+        assert set(base) == set(sharded) == {"v0", "v1"}
+        for v in base:
+            np.testing.assert_allclose(base[v][:2], sharded[v][:2], rtol=1e-5)
+            assert base[v][2] == sharded[v][2]
