@@ -34,25 +34,40 @@ def trace(log_dir: str) -> Iterator[None]:
 
 
 def device_time(
-    op: Callable[[], jnp.ndarray],
+    op: Callable[..., jnp.ndarray],
     iters: int = 10,
     repeats: int = 3,
     subtract_rtt: bool = True,
+    args: tuple = (),
 ) -> float:
-    """Steady-state seconds per execution of ``op`` (a thunk returning an
-    array whose sum is pulled to host as the sync point)."""
+    """Steady-state seconds per execution of ``op`` (returns an array
+    whose sum is pulled to host as the sync point).
 
-    @jax.jit
-    def loop():
-        def body(c, _):
-            return c + op().sum(), None
-        c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
-        return c
+    Pass large operands (model params, batch tensors) via ``args`` rather
+    than closing over them: closure-captured arrays are attached to the
+    lowered module as constants, and on this relay-compiled environment a
+    f32 VGG's worth of constants exceeds the compile service's request
+    size limit (HTTP 413). ``args`` become real jit parameters.
 
-    float(loop())  # compile + warm
-    best = min(
-        _timed(lambda: float(loop())) for _ in range(repeats)
-    )
+    Measurement = ``iters`` back-to-back async dispatches of one compiled
+    executable, synced once at the end (device queue is FIFO, so the last
+    result's materialization bounds them all). An earlier in-graph
+    ``lax.scan`` variant measured 10x fast once operands became jit
+    parameters: the body was carry-independent, so XLA hoisted the whole
+    op out of the loop — dispatch pipelining can't be "optimized away".
+    """
+    f = jax.jit(lambda *a: op(*a).sum())
+    float(f(*args))  # compile + warm
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(iters):
+            r = f(*args)
+        float(r)
+        return time.perf_counter() - t0
+
+    best = min(run() for _ in range(repeats))
     if subtract_rtt:
         best = max(best - RELAY_RTT_S, 0.0)
     return best / iters

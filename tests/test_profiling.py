@@ -9,17 +9,20 @@ from gaze_tpu.utils.profiling import device_time, trace
 class TestDeviceTime:
     def test_measures_positive_time(self):
         x = jnp.ones((256, 256))
-        t = device_time(lambda: x @ x, iters=4, repeats=2)
+        t = device_time(lambda a: a @ a, iters=4, repeats=2, args=(x,))
         assert t >= 0.0
         assert np.isfinite(t)
 
     def test_scales_with_work(self):
+        # Operands via args= (jit parameters): a closed-over constant
+        # matmul could be constant-folded at compile time, leaving only
+        # dispatch overhead to measure.
         small = jnp.ones((64, 64))
         big = jnp.ones((1024, 1024))
-        t_small = device_time(lambda: small @ small, iters=4, repeats=2,
-                              subtract_rtt=False)
-        t_big = device_time(lambda: big @ big, iters=4, repeats=2,
-                            subtract_rtt=False)
+        t_small = device_time(lambda a: a @ a, iters=4, repeats=2,
+                              subtract_rtt=False, args=(small,))
+        t_big = device_time(lambda a: a @ a, iters=4, repeats=2,
+                            subtract_rtt=False, args=(big,))
         assert t_big > t_small
 
 
