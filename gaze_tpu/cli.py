@@ -127,6 +127,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lf_ckpt", type=str, default=None)
     p.add_argument("--pretrained_vgg", type=str, default=None,
                    help="torchvision vgg16 .pth for encoder init")
+    p.add_argument("--export_torch", type=str, default=None, metavar="PATH",
+                   help="export the loaded SP/AT/LF weights as a torch "
+                        "state-dict bundle (torch tensor conventions; "
+                        "see models/weights_export.py) for validation "
+                        "inside the reference's own harness")
     # misc
     p.add_argument("--image_size", type=str, default="224",
                    help="model grid: N (square) or HxW (e.g. 288x384 for "
@@ -639,7 +644,8 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     if args.train_sp:
         sp_vars = run_train_sp(args, cfg, pipeline, mesh)
-    if args.train_lstm or args.train_late or args.eval or args.extract_late:
+    if (args.train_lstm or args.train_late or args.eval or args.extract_late
+            or args.export_torch):
         if sp_vars is None:
             state = create_sp_state(rng, pipeline)
             state = restore_best_or_latest(
@@ -648,7 +654,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             sp_vars = {"params": state.params, "batch_stats": state.batch_stats}
     if args.train_lstm:
         at_vars = run_train_lstm(args, cfg, pipeline, mesh, sp_vars)
-    if args.train_late or args.eval or args.extract_late:
+    if args.train_late or args.eval or args.extract_late or args.export_torch:
         if at_vars is None:
             state = create_at_state(rng, pipeline)
             state = restore_checkpoint(
@@ -659,13 +665,26 @@ def main(argv: Optional[List[str]] = None) -> None:
         run_extract_late(args, cfg, pipeline, sp_vars, at_vars)
     if args.train_late:
         lf_state = run_train_late(args, cfg, pipeline, mesh, sp_vars, at_vars)
-    if args.eval:
+    if args.eval or args.export_torch:
         if lf_state is None:
             state = create_lf_state(rng, pipeline)
             lf_state = restore_best_or_latest(
                 args.lf_ckpt or os.path.join(args.save_dir, "lf"), state
             )
+    if args.eval:
         run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state, mesh=mesh)
+    if args.export_torch:
+        from gaze_tpu.models.weights_export import export_pipeline_to_torch
+
+        export_pipeline_to_torch(
+            {
+                "sp": sp_vars,
+                "at": at_vars,
+                "lf": {"params": lf_state.params},
+            },
+            args.export_torch,
+        )
+        print({"exported_torch": args.export_torch})
 
 
 if __name__ == "__main__":

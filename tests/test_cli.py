@@ -55,6 +55,21 @@ class TestCLIStages:
         # fresh invocation restoring all three stages from disk
         run_cli(["--eval", "--save_dir", save_dir] + ARGS_COMMON)
 
+    def test_export_torch(self, save_dir, tmp_path):
+        """--export_torch restores all stages from disk and writes a
+        torch bundle whose SP weights match the checkpointed params."""
+        torch = pytest.importorskip("torch")
+        run_cli(
+            ["--train_sp", "--train_lstm", "--train_late",
+             "--save_dir", save_dir] + ARGS_COMMON
+        )
+        path = str(tmp_path / "bundle.pth")
+        run_cli(["--export_torch", path, "--save_dir", save_dir] + ARGS_COMMON)
+        bundle = torch.load(path, weights_only=False)
+        assert set(bundle) == {"sp", "at", "lf"}
+        w = bundle["sp"]["spatial.conv1_1.weight"]
+        assert w.shape == (64, 3, 3, 3) and float(w.abs().sum()) > 0
+
 
 class TestDistributedHelpers:
     def test_single_process_noop(self):
