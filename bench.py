@@ -36,6 +36,11 @@ def main() -> None:
     p.add_argument("--flow_scale", type=float, default=0.5,
                    help="production serving preset solves TV-L1 at this "
                         "fraction of the model grid (1.0 = parity path)")
+    p.add_argument("--tvl1_warps", type=int, default=None,
+                   help="override TV-L1 warps per level (accuracy knob; "
+                        "pair with the CLI --tvl1_warps eval ablation)")
+    p.add_argument("--tvl1_iters", type=int, default=None,
+                   help="override TV-L1 PD iterations per warp")
     p.add_argument("--mode", choices=["infer", "train", "serve"], default="infer",
                    help="train: SP training-step throughput; serve: "
                         "end-to-end StreamServer tick loop (H2D + step + "
@@ -57,10 +62,15 @@ def main() -> None:
     import dataclasses
 
     cfg = default_config()
+    tvl1_over = {"flow_scale": args.flow_scale}
+    if args.tvl1_warps is not None:
+        tvl1_over["warps"] = args.tvl1_warps
+    if args.tvl1_iters is not None:
+        tvl1_over["iters"] = args.tvl1_iters
     cfg = dataclasses.replace(
         cfg,
         image=dataclasses.replace(cfg.image, height=args.image_size, width=args.image_size),
-        tvl1=dataclasses.replace(cfg.tvl1, flow_scale=args.flow_scale),
+        tvl1=dataclasses.replace(cfg.tvl1, **tvl1_over),
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     pipeline = GazePipeline(cfg, dtype=dtype)

@@ -34,8 +34,9 @@ def __getattr__(name):
         from gaze_tpu.serve import StreamServer
 
         return StreamServer
-    if name == "default_config":
-        from gaze_tpu.core.config import default_config
+    if name in ("default_config", "parity_config", "production_config",
+                "production_fast_config"):
+        from gaze_tpu.core import config
 
-        return default_config
+        return getattr(config, name)
     raise AttributeError(name)

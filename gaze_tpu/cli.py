@@ -152,6 +152,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 activations (f32 params) — the serving/"
                         "throughput preset; default float32 parity path")
+    p.add_argument("--flow_scale", type=float, default=1.0,
+                   help="solve TV-L1 at this fraction of the model grid "
+                        "and upsample (1.0 = parity path; 0.5 = the "
+                        "production preset's 4x-cheaper solve)")
+    p.add_argument("--tvl1_warps", type=int, default=None,
+                   help="override TV-L1 warps per pyramid level "
+                        "(default per TVL1Config)")
+    p.add_argument("--tvl1_iters", type=int, default=None,
+                   help="override TV-L1 primal-dual iterations per warp")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (the debug-config stand-in "
                         "for sanitizers; SURVEY.md §5)")
@@ -177,10 +186,23 @@ def make_config(args) -> PipelineConfig:
         if getattr(args, "camera", "gtea_plus") == "gtea"
         else CameraConfig.gtea_gaze_plus()
     )
+    tvl1 = dataclasses.replace(
+        base.tvl1,
+        flow_scale=getattr(args, "flow_scale", 1.0),
+        **{
+            k: v
+            for k, v in (
+                ("warps", getattr(args, "tvl1_warps", None)),
+                ("iters", getattr(args, "tvl1_iters", None)),
+            )
+            if v is not None
+        },
+    )
     return dataclasses.replace(
         base,
         image=dataclasses.replace(base.image, height=ih, width=iw),
         camera=cam,
+        tvl1=tvl1,
         train=dataclasses.replace(
             base.train,
             batch_size=args.batch_size,

@@ -238,3 +238,26 @@ class TestCLIConfig:
         args = cli.build_argparser().parse_args([])
         cfg = cli.make_config(args)
         assert (cfg.camera.native_width, cfg.camera.native_height) == (960, 720)
+
+    def test_tvl1_knobs(self):
+        """--flow_scale/--tvl1_warps/--tvl1_iters reach TVL1Config; the
+        defaults stay on the parity path."""
+        args = cli.build_argparser().parse_args(
+            ["--flow_scale", "0.5", "--tvl1_warps", "3", "--tvl1_iters", "5"]
+        )
+        cfg = cli.make_config(args)
+        assert (cfg.tvl1.flow_scale, cfg.tvl1.warps, cfg.tvl1.iters) == (0.5, 3, 5)
+        base = cli.make_config(cli.build_argparser().parse_args([]))
+        assert base.tvl1.flow_scale == 1.0
+        assert (base.tvl1.warps, base.tvl1.iters) == (5, 10)
+
+    def test_presets_exported(self):
+        """The config presets are part of the lazy public API and the
+        fast preset differs from production only in solver effort."""
+        import gaze_tpu
+
+        prod = gaze_tpu.production_config()
+        fast = gaze_tpu.production_fast_config()
+        assert fast.tvl1.flow_scale == prod.tvl1.flow_scale == 0.5
+        assert (fast.tvl1.warps, fast.tvl1.iters) == (3, 5)
+        assert gaze_tpu.parity_config().tvl1.flow_scale == 1.0
