@@ -26,6 +26,26 @@ import time
 import numpy as np
 
 
+def _stream_seqs(batch: int, num_frames: int, image_size: int):
+    """Distinct per-stream synthetic content, cycled over G seeds.
+
+    Throughput is content-independent on this dense pipeline, but
+    identical broadcast clips would leave that unproven. Returns
+    (G, [ (frames, gaze, fixsac) x G ]); stream i uses seqs[i % G].
+    """
+    from gaze_tpu.data.synthetic import SyntheticSpec, generate_sequence
+
+    G = min(batch, 16)
+    seqs = [
+        generate_sequence(
+            SyntheticSpec(num_frames=num_frames, height=image_size,
+                          width=image_size, seed=s)
+        )
+        for s in range(G)
+    ]
+    return G, seqs
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", 128)))
@@ -56,7 +76,6 @@ def main() -> None:
     import jax.numpy as jnp
 
     from gaze_tpu.core.config import default_config
-    from gaze_tpu.data.synthetic import SyntheticSpec, generate_sequence
     from gaze_tpu.models.pipeline import GazePipeline, make_clip_fn
 
     import dataclasses
@@ -132,16 +151,9 @@ def main() -> None:
         server = StreamServer(cfg, variables, max_streams=B, dtype=dtype)
         for s in range(B):
             server.attach(s)
-        G = min(B, 16)
-        seqs = [
-            generate_sequence(
-                SyntheticSpec(num_frames=T, height=args.image_size,
-                              width=args.image_size, seed=s)
-            )[0]
-            for s in range(G)
-        ]
+        G, seqs = _stream_seqs(B, T, args.image_size)
         ticks = [
-            np.stack([seqs[i % G][t] for i in range(B)]) for t in range(T)
+            np.stack([seqs[i % G][0][t] for i in range(B)]) for t in range(T)
         ]
         for t in range(2):  # warm: compile + fill the submit pipeline
             server.submit(ticks[t])
@@ -167,17 +179,7 @@ def main() -> None:
     clip_fn = make_clip_fn(pipeline)
 
     B, T = args.batch, args.frames
-    # Distinct per-stream content (cycled over G generated sequences):
-    # throughput is content-independent on this dense pipeline, but
-    # identical broadcast clips would leave that unproven.
-    G = min(B, 16)
-    seqs = [
-        generate_sequence(
-            SyntheticSpec(num_frames=T + 1, height=args.image_size,
-                          width=args.image_size, seed=s)
-        )
-        for s in range(G)
-    ]
+    G, seqs = _stream_seqs(B, T + 1, args.image_size)
     frames_b = jnp.asarray(np.stack([seqs[i % G][0] for i in range(B)]))
     fixsac_b = jnp.asarray(np.stack([seqs[i % G][2] for i in range(B)]))
 

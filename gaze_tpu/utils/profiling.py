@@ -8,7 +8,10 @@ state device time for a jitted fn.
 NOTE on this environment: the TPU sits behind a relay where
 ``block_until_ready`` does not synchronize and each D2H materialization
 costs ~25 ms RTT. ``device_time`` therefore syncs by pulling a scalar
-and amortizes over ``iters`` in-graph repetitions via ``lax.scan``.
+once after ``iters`` pipelined dispatches (do NOT "improve" this back
+into an in-graph ``lax.scan`` repeat: a carry-independent body gets
+hoisted out of the loop by XLA and measures 10x fast — see the
+function docstring).
 """
 
 from __future__ import annotations
@@ -71,9 +74,3 @@ def device_time(
     if subtract_rtt:
         best = max(best - RELAY_RTT_S, 0.0)
     return best / iters
-
-
-def _timed(f: Callable[[], object]) -> float:
-    t0 = time.perf_counter()
-    f()
-    return time.perf_counter() - t0

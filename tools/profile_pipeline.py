@@ -28,6 +28,11 @@ def main() -> None:
     p.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
     p.add_argument("--flow_scale", type=float, default=0.5)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--no_rtt_correction", action="store_true",
+                   help="skip the ~25 ms relay-RTT subtraction — use on "
+                        "co-located hardware, where the subtraction "
+                        "corrupts (and for fast ops can zero out) the "
+                        "per-stage times")
     args = p.parse_args()
 
     import jax
@@ -46,7 +51,7 @@ def main() -> None:
     from gaze_tpu.models.pipeline import GazePipeline
     from gaze_tpu.ops.heatmap import heatmap_argmax
     from gaze_tpu.ops.image import resize_bilinear
-    from gaze_tpu.ops.preprocess import normalize_rgb, resize_frames, rgb_to_gray, to_float
+    from gaze_tpu.ops.preprocess import resize_frames, rgb_to_gray, to_float
     from gaze_tpu.ops.tvl1 import tvl1_flow
     from gaze_tpu.utils.profiling import device_time
 
@@ -79,6 +84,11 @@ def main() -> None:
     )
     w = fixation_pool(feat, heatmap_argmax(sal), cfg.at)
 
+    import functools
+
+    device_time = functools.partial(
+        device_time, subtract_rtt=not args.no_rtt_correction
+    )
     ms = lambda t: round(t * 1e3, 3)
     out = {"batch": B, "dtype": args.dtype, "flow_scale": args.flow_scale}
 
@@ -114,7 +124,11 @@ def main() -> None:
     out["sum_of_parts_ms"] = round(
         out["preprocess_total_ms"] + out["sp_forward_ms"] + out["at_lstm_ms"]
         + out["attention_map_ms"] + out["lf_ms"], 3)
-    out["fps_implied"] = round(B / (out["full_step_ms"] / 1e3), 1)
+    # Guard the division: with RTT subtraction on fast hosts a sub-25ms
+    # step can clamp to 0.0 (use --no_rtt_correction there).
+    out["fps_implied"] = (
+        round(B / (out["full_step_ms"] / 1e3), 1) if out["full_step_ms"] else None
+    )
     print(json.dumps(out))
 
 
