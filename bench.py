@@ -61,6 +61,10 @@ def main() -> None:
                         "pair with the CLI --tvl1_warps eval ablation)")
     p.add_argument("--tvl1_iters", type=int, default=None,
                    help="override TV-L1 PD iterations per warp")
+    p.add_argument("--quant", action="store_true",
+                   help="int8-quantize the two VGG encoder streams "
+                        "(PTQ calibrated on the bench streams; "
+                        "models/quant.py) — int8 MXU serving path")
     p.add_argument("--mode", choices=["infer", "train", "serve"], default="infer",
                    help="train: SP training-step throughput; serve: "
                         "end-to-end StreamServer tick loop (H2D + step + "
@@ -182,6 +186,15 @@ def main() -> None:
     G, seqs = _stream_seqs(B, T + 1, args.image_size)
     frames_b = jnp.asarray(np.stack([seqs[i % G][0] for i in range(B)]))
     fixsac_b = jnp.asarray(np.stack([seqs[i % G][2] for i in range(B)]))
+
+    if args.quant:
+        from gaze_tpu.models.quant import calibrate_pipeline_sp
+
+        pairs = [(np.stack([s[0][t] for s in seqs]),
+                  np.stack([s[0][t + 1] for s in seqs])) for t in range(2)]
+        qsp = calibrate_pipeline_sp(pipeline, variables, pairs)
+        pipeline = dataclasses.replace(pipeline, quant_sp=qsp)
+        clip_fn = make_clip_fn(pipeline)
 
     # NOTE on timing: this environment reaches the TPU through a relay
     # where block_until_ready() does not synchronize — only a D2H

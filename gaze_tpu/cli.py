@@ -161,6 +161,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(default per TVL1Config)")
     p.add_argument("--tvl1_iters", type=int, default=None,
                    help="override TV-L1 primal-dual iterations per warp")
+    p.add_argument("--quant_sp", action="store_true",
+                   help="int8-quantize the SP VGG streams for eval/"
+                        "extraction (PTQ calibrated on a few training "
+                        "batches; models/quant.py). Serving-path knob — "
+                        "training stages ignore it")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (the debug-config stand-in "
                         "for sanitizers; SURVEY.md §5)")
@@ -683,6 +688,19 @@ def main(argv: Optional[List[str]] = None) -> None:
                 args.at_ckpt or os.path.join(args.save_dir, "at"), state
             )
             at_vars = {"params": state.params}
+    if args.quant_sp and (args.eval or args.extract_late):
+        # PTQ: calibrate activation scales on a few training batches via
+        # the pipeline's own preprocessing, then swap in the int8 streams.
+        from gaze_tpu.models.quant import calibrate_pipeline_sp
+
+        pairs = []
+        for batch in _batches(args, cfg, train=True):
+            pairs.append((batch["prev"], batch["cur"]))
+            if len(pairs) >= 4:
+                break
+        qsp = calibrate_pipeline_sp(pipeline, {"sp": sp_vars}, pairs)
+        pipeline = dataclasses.replace(pipeline, quant_sp=qsp)
+        print({"quant_sp": "int8", "calibration_batches": len(pairs)})
     if args.extract_late:
         run_extract_late(args, cfg, pipeline, sp_vars, at_vars)
     if args.train_late:

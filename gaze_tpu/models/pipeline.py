@@ -60,10 +60,17 @@ class StreamState(NamedTuple):
 
 @dataclasses.dataclass
 class GazePipeline:
-    """Bundles the three modules plus config into pure jit-able fns."""
+    """Bundles the three modules plus config into pure jit-able fns.
+
+    quant_sp: optional ``models.quant.QuantSP`` — when set, the two VGG
+    encoder streams run the calibrated int8 path (conv accumulating in
+    int32 on the MXU) and only the fuse/decoder tail uses ``dtype``;
+    ~2x serving throughput, see models/quant.py.
+    """
 
     config: PipelineConfig
     dtype: Any = jnp.float32
+    quant_sp: Any = None
 
     def __post_init__(self):
         self.sp = SPNet(self.config.sp, dtype=self.dtype)
@@ -173,7 +180,20 @@ class GazePipeline:
         """
         cfg = self.config
         rgb_in, flow_in = self.preprocess_pair(prev_u8, cur_u8, flow_img)
-        sal, feat = self.sp.apply(variables["sp"], rgb_in, flow_in)
+        if self.quant_sp is not None:
+            from gaze_tpu.models.quant import quant_vgg_forward
+            from gaze_tpu.models.sp import SPNet
+
+            feat = quant_vgg_forward(self.quant_sp.spatial, rgb_in)
+            f_temporal = quant_vgg_forward(self.quant_sp.temporal, flow_in)
+            sal = self.sp.apply(
+                variables["sp"],
+                feat.astype(self.dtype),
+                f_temporal.astype(self.dtype),
+                method=SPNet.fuse_decode,
+            )
+        else:
+            sal, feat = self.sp.apply(variables["sp"], rgb_in, flow_in)
 
         pool_pt = heatmap_argmax(sal) if gaze_xy is None else gaze_xy
         w = fixation_pool(feat, pool_pt, cfg.at)

@@ -67,24 +67,41 @@ class Decoder(nn.Module):
 
 
 class SPNet(nn.Module):
-    """Two-stream SP network. Returns (saliency (B,H,W), conv5 (B,h,w,512))."""
+    """Two-stream SP network. Returns (saliency (B,H,W), conv5 (B,h,w,512)).
+
+    setup-style submodules (attribute names == param scopes, so the
+    checkpoint tree is identical to the original compact layout): the
+    ``fuse_decode`` tail is independently applyable, which is how the
+    int8-quantized serving path (models/quant.py) splices its encoder
+    outputs into the unquantized fusion/decoder head.
+    """
 
     cfg: SPConfig
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.spatial = VGG16Features(**kw)
+        self.temporal = VGG16Features(**kw)
+        self.fuse_conv = nn.Conv(self.cfg.fused_channels, kernel_size=(1, 1), **kw)
+        self.decoder = Decoder(self.cfg, **kw)
+
     def __call__(
         self, rgb: jnp.ndarray, flow: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        f_spatial = VGG16Features(name="spatial", **kw)(rgb)
-        f_temporal = VGG16Features(name="temporal", **kw)(flow)
-        fused = jnp.concatenate([f_spatial, f_temporal], axis=-1)
-        fused = nn.Conv(
-            self.cfg.fused_channels, kernel_size=(1, 1), name="fuse_conv", **kw
-        )(fused)
-        fused = nn.relu(fused)
-        logits = Decoder(self.cfg, name="decoder", **kw)(fused, train=train)
-        sal = nn.sigmoid(logits.astype(jnp.float32))[..., 0]
+        f_spatial = self.spatial(rgb)
+        f_temporal = self.temporal(flow)
+        sal = self.fuse_decode(f_spatial, f_temporal, train=train)
         return sal, f_spatial.astype(jnp.float32)
+
+    def fuse_decode(
+        self, f_spatial: jnp.ndarray, f_temporal: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        """conv5 features (both streams) -> saliency map. Public so the
+        quantized encoders can reuse the exact trained tail via
+        ``sp.apply(vars, fs, ft, method=SPNet.fuse_decode)``."""
+        fused = jnp.concatenate([f_spatial, f_temporal], axis=-1)
+        fused = nn.relu(self.fuse_conv(fused))
+        logits = self.decoder(fused, train=train)
+        return nn.sigmoid(logits.astype(jnp.float32))[..., 0]

@@ -39,6 +39,7 @@ class StreamServer:
         fixation_source: str = "idt",
         idt_dispersion_px: float = 8.0,
         idt_window: int = 3,
+        quant_sp=None,
     ):
         """Args (beyond the obvious):
 
@@ -59,10 +60,12 @@ class StreamServer:
           in model-grid pixels (default tuned for 224x224; data/fixation.py
           uses 25 px at 960-wide native resolution, 25 * 224/960 ~ 6-8 px).
         idt_window: trailing predicted-gaze frames a fixation must span.
+        quant_sp: optional models.quant.QuantSP — serve the calibrated
+          int8 VGG streams (see GazePipeline.quant_sp).
         """
         if fixation_source not in ("idt", "always"):
             raise ValueError(f"unknown fixation_source {fixation_source!r}")
-        self.pipeline = GazePipeline(config, dtype=dtype)
+        self.pipeline = GazePipeline(config, dtype=dtype, quant_sp=quant_sp)
         self.variables = variables
         self.max_streams = max_streams
         self.keep_heatmaps = keep_heatmaps
