@@ -28,6 +28,13 @@ def main() -> None:
     p.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
     p.add_argument("--flow_scale", type=float, default=0.5)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--tvl1_warps", type=int, default=None,
+                   help="override TV-L1 warps per level")
+    p.add_argument("--tvl1_iters", type=int, default=None,
+                   help="override TV-L1 PD iterations per warp")
+    p.add_argument("--quant", action="store_true",
+                   help="profile with int8-quantized SP streams "
+                        "(models/quant.py; calibrated on the probe clip)")
     p.add_argument("--no_rtt_correction", action="store_true",
                    help="skip the ~25 ms relay-RTT subtraction — use on "
                         "co-located hardware, where the subtraction "
@@ -56,14 +63,30 @@ def main() -> None:
     from gaze_tpu.utils.profiling import device_time
 
     cfg = default_config()
+    tvl1_over = {"flow_scale": args.flow_scale}
+    if args.tvl1_warps is not None:
+        tvl1_over["warps"] = args.tvl1_warps
+    if args.tvl1_iters is not None:
+        tvl1_over["iters"] = args.tvl1_iters
     cfg = dataclasses.replace(
         cfg,
         image=dataclasses.replace(cfg.image, height=args.image_size, width=args.image_size),
-        tvl1=dataclasses.replace(cfg.tvl1, flow_scale=args.flow_scale),
+        tvl1=dataclasses.replace(cfg.tvl1, **tvl1_over),
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     pipeline = GazePipeline(cfg, dtype=dtype)
     variables = pipeline.init_variables(jax.random.key(0))
+    if args.quant:
+        from gaze_tpu.models.quant import calibrate_pipeline_sp
+
+        f0, _, _ = generate_sequence(
+            SyntheticSpec(num_frames=2, height=cfg.image.height,
+                          width=cfg.image.width)
+        )
+        qsp = calibrate_pipeline_sp(
+            pipeline, variables, [(f0[None, 0], f0[None, 1])]
+        )
+        pipeline = dataclasses.replace(pipeline, quant_sp=qsp)
 
     B, H, W = args.batch, cfg.image.height, cfg.image.width
     f, g, fx = generate_sequence(SyntheticSpec(num_frames=2, height=H, width=W))
@@ -101,9 +124,22 @@ def main() -> None:
     out["preprocess_total_ms"] = ms(device_time(
         lambda a, b: pipeline.preprocess_pair(a, b)[1][..., 0],
         iters=args.iters, args=(prev, cur)))
+    if args.quant:
+        from gaze_tpu.models.quant import quant_vgg_forward
+        from gaze_tpu.models.sp import SPNet
+
+        def _sp_fwd(v, r, fl):
+            fs = quant_vgg_forward(pipeline.quant_sp.spatial, r)
+            ft = quant_vgg_forward(pipeline.quant_sp.temporal, fl)
+            return pipeline.sp.apply(
+                v, fs.astype(dtype), ft.astype(dtype), method=SPNet.fuse_decode
+            )
+    else:
+        def _sp_fwd(v, r, fl):
+            return pipeline.sp.apply(v, r, fl)[0]
+
     out["sp_forward_ms"] = ms(device_time(
-        lambda v, r, fl: pipeline.sp.apply(v, r, fl)[0],
-        iters=args.iters, args=(variables["sp"], rgb_in, flow_in)))
+        _sp_fwd, iters=args.iters, args=(variables["sp"], rgb_in, flow_in)))
     out["at_lstm_ms"] = ms(device_time(
         lambda v, c, ww: pipeline.lstm.apply(v, c, ww, method=LSTMNet.step)[1],
         iters=args.iters, args=(variables["at"], state.carries, w)))
