@@ -11,9 +11,15 @@ prints ONE JSON line:
 Baseline: BASELINE.json's binding target of >=500 frames/sec/chip
 (the reference publishes no throughput numbers — SURVEY.md §6).
 
-The benchmark path runs bf16 activations (params f32); the parity path
-stays f32 (see GazePipeline dtype). Compile time is excluded; steady-state
-wall clock over several repeats is used.
+Presets (--preset; individual flags override):
+  turbo (default): bf16 tail + int8-PTQ VGG streams + half-grid TV-L1 at
+    reduced effort (warps 3, iters 5). The fastest configuration whose
+    rollout AAE/AUC on trained checkpoints sits inside the noise band of
+    the parity path (docs/STATUS.md round-2 tables; BENCH_quant_r2.json).
+  production: bf16 + half-grid flow, full IPOL solver effort, no quant.
+  parity: float32, full-grid flow — the exact-math reference path.
+
+Compile time is excluded; steady-state wall clock over several repeats.
 """
 
 from __future__ import annotations
@@ -51,17 +57,21 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", 128)))
     p.add_argument("--frames", type=int, default=int(os.environ.get("BENCH_FRAMES", 8)))
     p.add_argument("--repeats", type=int, default=3)
-    p.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
+    p.add_argument("--preset", choices=["turbo", "production", "parity"],
+                   default="turbo",
+                   help="named configuration (see module docstring); "
+                        "individual flags below override its choices")
+    p.add_argument("--dtype", choices=["bfloat16", "float32"], default=None)
     p.add_argument("--image_size", type=int, default=224)
-    p.add_argument("--flow_scale", type=float, default=0.5,
-                   help="production serving preset solves TV-L1 at this "
-                        "fraction of the model grid (1.0 = parity path)")
+    p.add_argument("--flow_scale", type=float, default=None,
+                   help="solve TV-L1 at this fraction of the model grid "
+                        "(1.0 = parity)")
     p.add_argument("--tvl1_warps", type=int, default=None,
                    help="override TV-L1 warps per level (accuracy knob; "
                         "pair with the CLI --tvl1_warps eval ablation)")
     p.add_argument("--tvl1_iters", type=int, default=None,
                    help="override TV-L1 PD iterations per warp")
-    p.add_argument("--quant", action="store_true",
+    p.add_argument("--quant", choices=["on", "off"], default=None,
                    help="int8-quantize the two VGG encoder streams "
                         "(PTQ calibrated on the bench streams; "
                         "models/quant.py) — int8 MXU serving path")
@@ -71,6 +81,25 @@ def main() -> None:
                         "per-tick gaze D2H) instead of the (default, "
                         "driver-facing) inference bench")
     args = p.parse_args()
+
+    _PRESETS = {
+        "turbo": dict(dtype="bfloat16", flow_scale=0.5, tvl1_warps=3,
+                      tvl1_iters=5, quant=True),
+        "production": dict(dtype="bfloat16", flow_scale=0.5, tvl1_warps=None,
+                           tvl1_iters=None, quant=False),
+        "parity": dict(dtype="float32", flow_scale=1.0, tvl1_warps=None,
+                       tvl1_iters=None, quant=False),
+    }
+    preset = _PRESETS[args.preset]
+    if args.dtype is None:
+        args.dtype = preset["dtype"]
+    if args.flow_scale is None:
+        args.flow_scale = preset["flow_scale"]
+    if args.tvl1_warps is None:
+        args.tvl1_warps = preset["tvl1_warps"]
+    if args.tvl1_iters is None:
+        args.tvl1_iters = preset["tvl1_iters"]
+    args.quant = preset["quant"] if args.quant is None else args.quant == "on"
 
     import jax
 
