@@ -121,30 +121,47 @@ def build_quant_vgg(
 def quant_vgg_forward(q: QuantVGG, x: jnp.ndarray) -> jnp.ndarray:
     """int8 VGG16 forward: f32 NHWC input -> f32 conv5 features.
 
-    Each layer: requantize input to int8 at the calibrated scale, int8
-    conv with int32 accumulation on the MXU, dequantize with the fused
-    per-channel scale, bias + ReLU on the VPU.
+    int8-RESIDENT chain: each conv accumulates in int32 on the MXU and
+    its epilogue writes the next layer's int8 input directly —
+    dequant, bias, ReLU and the next requant fold into one fused
+    multiply-add-round-clip (ReLU folds into the clip's lower bound 0,
+    valid because scales are positive), so intermediate activations
+    cross HBM as int8 (4x less traffic than f32 intermediates).
+    Max-pooling runs on the int8 tensors (max commutes with the
+    positive-scale quantization). Only conv5_3 dequantizes to f32.
+    Numerics match the naive dequant->requant scheme up to float
+    associativity in the folded scale.
     """
     from flax.linen import max_pool
 
     x = x.astype(jnp.float32)
+    sx0 = q.act_scales[_LAYERS[0]]
+    xq = jnp.clip(jnp.round(x / sx0), -127, 127).astype(jnp.int8)
     li = 0
     for s, stage in enumerate(VGG16_STAGES):
         for _ in stage:
             name = _LAYERS[li]
             li += 1
             sx = q.act_scales[name]
-            xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
             acc = jax.lax.conv_general_dilated(
                 xq, q.kernels[name], (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32,
             )
-            x = acc.astype(jnp.float32) * (sx * q.w_scales[name]) + q.biases[name]
-            x = jax.nn.relu(x)
+            if li < len(_LAYERS):
+                # Fused epilogue into the NEXT layer's int8 grid.
+                sn = q.act_scales[_LAYERS[li]]
+                a = (sx * q.w_scales[name]) / sn
+                c = q.biases[name] / sn
+                xq = jnp.clip(
+                    jnp.round(acc.astype(jnp.float32) * a + c), 0, 127
+                ).astype(jnp.int8)
+            else:  # conv5_3: dequantize for the f32/bf16 consumers
+                xf = acc.astype(jnp.float32) * (sx * q.w_scales[name])
+                xf = jax.nn.relu(xf + q.biases[name])
         if s < len(VGG16_STAGES) - 1:
-            x = max_pool(x, window_shape=(2, 2), strides=(2, 2))
-    return x
+            xq = max_pool(xq, window_shape=(2, 2), strides=(2, 2))
+    return xf
 
 
 @dataclasses.dataclass(frozen=True)
