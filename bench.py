@@ -181,10 +181,19 @@ def main() -> None:
         from gaze_tpu.serve import StreamServer
 
         B, T = args.batch, max(args.frames, 4)
-        server = StreamServer(cfg, variables, max_streams=B, dtype=dtype)
+        G, seqs = _stream_seqs(B, T, args.image_size)
+        qsp = None
+        if args.quant:
+            from gaze_tpu.models.quant import calibrate_pipeline_sp
+
+            pairs = [(np.stack([s[0][t] for s in seqs]),
+                      np.stack([s[0][t + 1] for s in seqs]))
+                     for t in range(min(2, T - 1))]
+            qsp = calibrate_pipeline_sp(pipeline, variables, pairs)
+        server = StreamServer(cfg, variables, max_streams=B, dtype=dtype,
+                              quant_sp=qsp)
         for s in range(B):
             server.attach(s)
-        G, seqs = _stream_seqs(B, T, args.image_size)
         ticks = [
             np.stack([seqs[i % G][0][t] for i in range(B)]) for t in range(T)
         ]
