@@ -124,6 +124,20 @@ class TestGTEAEval:
         assert "Alice_Pizza" in out      # per-video breakdown
         assert "AAE_deg" in out
 
+    def test_eval_quant_sp_on_gtea_layout(self, fake_root, save_dir, capsys):
+        """--quant_sp evaluates end to end on the on-disk layout: the PTQ
+        calibration draws its batches from the real training split."""
+        run_cli(
+            ["--eval", "--quant_sp",
+             "--data_root", fake_root, "--test_subject", "Alice",
+             "--save_dir", save_dir,
+             "--image_size", "32", "--batch_size", "2", "--epochs", "1",
+             "--seq_len", "4", "--log_every", "1"]
+        )
+        out = capsys.readouterr().out
+        assert "'quant_sp': 'int8'" in out
+        assert "AAE_deg" in out
+
     def test_eval_is_true_sequential_rollout(self, fake_root, save_dir, capsys):
         """The CLI's --eval must equal a hand-rolled frame-by-frame
         ``pipeline.step`` rollout (LSTM state carried across the video,
