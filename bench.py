@@ -74,7 +74,8 @@ def main() -> None:
     p.add_argument("--quant", choices=["on", "off"], default=None,
                    help="int8-quantize the two VGG encoder streams "
                         "(PTQ calibrated on the bench streams; "
-                        "models/quant.py) — int8 MXU serving path")
+                        "models/quant.py) — int8 MXU serving path. "
+                        "infer/serve modes only; train ignores it")
     p.add_argument("--mode", choices=["infer", "train", "serve"], default="infer",
                    help="train: SP training-step throughput; serve: "
                         "end-to-end StreamServer tick loop (H2D + step + "
@@ -90,7 +91,11 @@ def main() -> None:
         "parity": dict(dtype="float32", flow_scale=1.0, tvl1_warps=None,
                        tvl1_iters=None, quant=False),
     }
-    preset = _PRESETS[args.preset]
+    # train mode keeps the production solver/precision semantics (quant
+    # and the reduced-effort solver are SERVING knobs; applying turbo's
+    # overrides silently would make train numbers incomparable across
+    # rounds) — explicit flags still win.
+    preset = _PRESETS["production" if args.mode == "train" else args.preset]
     if args.dtype is None:
         args.dtype = preset["dtype"]
     if args.flow_scale is None:
@@ -229,7 +234,8 @@ def main() -> None:
         from gaze_tpu.models.quant import calibrate_pipeline_sp
 
         pairs = [(np.stack([s[0][t] for s in seqs]),
-                  np.stack([s[0][t + 1] for s in seqs])) for t in range(2)]
+                  np.stack([s[0][t + 1] for s in seqs]))
+                 for t in range(min(2, T))]  # seqs hold T+1 frames
         qsp = calibrate_pipeline_sp(pipeline, variables, pairs)
         pipeline = dataclasses.replace(pipeline, quant_sp=qsp)
         clip_fn = make_clip_fn(pipeline)

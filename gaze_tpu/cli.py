@@ -688,21 +688,34 @@ def main(argv: Optional[List[str]] = None) -> None:
                 args.at_ckpt or os.path.join(args.save_dir, "at"), state
             )
             at_vars = {"params": state.params}
+    # quant_sp applies to EVAL/EXTRACTION only; training stages keep the
+    # full-precision pipeline (a separate object, so --train_late in the
+    # same invocation never trains the LF head through the int8 path).
+    eval_pipeline = pipeline
     if args.quant_sp and (args.eval or args.extract_late):
         # PTQ: calibrate activation scales on a few training batches via
-        # the pipeline's own preprocessing, then swap in the int8 streams.
+        # the pipeline's own preprocessing — including precomputed flow
+        # images when the data path supplies them, so the temporal
+        # stream's scales match the distribution it will serve.
         from gaze_tpu.models.quant import calibrate_pipeline_sp
 
         pairs = []
         for batch in _batches(args, cfg, train=True):
-            pairs.append((batch["prev"], batch["cur"]))
+            pairs.append(
+                (batch["prev"], batch["cur"], batch.get("flow_img"))
+            )
             if len(pairs) >= 4:
                 break
+        if not pairs:
+            raise ValueError(
+                "--quant_sp: no training batches available for PTQ "
+                "calibration (empty training split?)"
+            )
         qsp = calibrate_pipeline_sp(pipeline, {"sp": sp_vars}, pairs)
-        pipeline = dataclasses.replace(pipeline, quant_sp=qsp)
+        eval_pipeline = dataclasses.replace(pipeline, quant_sp=qsp)
         print({"quant_sp": "int8", "calibration_batches": len(pairs)})
     if args.extract_late:
-        run_extract_late(args, cfg, pipeline, sp_vars, at_vars)
+        run_extract_late(args, cfg, eval_pipeline, sp_vars, at_vars)
     if args.train_late:
         lf_state = run_train_late(args, cfg, pipeline, mesh, sp_vars, at_vars)
     if args.eval or args.export_torch:
@@ -712,7 +725,7 @@ def main(argv: Optional[List[str]] = None) -> None:
                 args.lf_ckpt or os.path.join(args.save_dir, "lf"), state
             )
     if args.eval:
-        run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state, mesh=mesh)
+        run_eval(args, cfg, eval_pipeline, sp_vars, at_vars, lf_state, mesh=mesh)
     if args.export_torch:
         from gaze_tpu.models.weights_export import export_pipeline_to_torch
 

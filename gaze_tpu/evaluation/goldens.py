@@ -79,7 +79,7 @@ def pipeline_module_outputs(
 
     cfg = pipeline.config
     rgb_in, flow_in = pipeline.preprocess_pair(prev_u8, cur_u8, flow_img)
-    sal, feat = pipeline.sp.apply(variables["sp"], rgb_in, flow_in)
+    sal, feat = pipeline.sp_forward(variables["sp"], rgb_in, flow_in)
     pool_pt = heatmap_argmax(sal)
     w = fixation_pool(feat, pool_pt, cfg.at)
     new_state, out = pipeline.step(

@@ -151,6 +151,31 @@ class GazePipeline:
         rgb_in = normalize_rgb(cur, cfg.image)
         return rgb_in.astype(self.dtype), flow_in.astype(self.dtype)
 
+    # ----------------------------------------------------- sp_forward ----
+    def sp_forward(
+        self, sp_variables: Dict[str, Any], rgb_in: jnp.ndarray, flow_in: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """SP forward respecting ``quant_sp``: (saliency, conv5 features).
+
+        Single choke point for every SP consumer (the fused step, LF
+        map extraction, goldens) so the int8 path cannot silently
+        diverge between eval and extraction surfaces.
+        """
+        if self.quant_sp is not None:
+            from gaze_tpu.models.quant import quant_vgg_forward
+            from gaze_tpu.models.sp import SPNet
+
+            feat = quant_vgg_forward(self.quant_sp.spatial, rgb_in)
+            f_temporal = quant_vgg_forward(self.quant_sp.temporal, flow_in)
+            sal = self.sp.apply(
+                sp_variables,
+                feat.astype(self.dtype),
+                f_temporal.astype(self.dtype),
+                method=SPNet.fuse_decode,
+            )
+            return sal, feat
+        return self.sp.apply(sp_variables, rgb_in, flow_in)
+
     # ---------------------------------------------------------- step ----
     def step(
         self,
@@ -180,20 +205,7 @@ class GazePipeline:
         """
         cfg = self.config
         rgb_in, flow_in = self.preprocess_pair(prev_u8, cur_u8, flow_img)
-        if self.quant_sp is not None:
-            from gaze_tpu.models.quant import quant_vgg_forward
-            from gaze_tpu.models.sp import SPNet
-
-            feat = quant_vgg_forward(self.quant_sp.spatial, rgb_in)
-            f_temporal = quant_vgg_forward(self.quant_sp.temporal, flow_in)
-            sal = self.sp.apply(
-                variables["sp"],
-                feat.astype(self.dtype),
-                f_temporal.astype(self.dtype),
-                method=SPNet.fuse_decode,
-            )
-        else:
-            sal, feat = self.sp.apply(variables["sp"], rgb_in, flow_in)
+        sal, feat = self.sp_forward(variables["sp"], rgb_in, flow_in)
 
         pool_pt = heatmap_argmax(sal) if gaze_xy is None else gaze_xy
         w = fixation_pool(feat, pool_pt, cfg.at)

@@ -98,6 +98,8 @@ def calibrate_vgg(
 ) -> Dict[str, jnp.ndarray]:
     """Run representative batches through the f32 stream; return per-layer
     symmetric activation scales (max|x| * margin / 127)."""
+    if not batches:
+        raise ValueError("PTQ calibration needs at least one batch")
     fn = jax.jit(lambda x: vgg_forward_with_maxes(params, x)[1])
     agg: Dict[str, float] = {}
     for b in batches:
@@ -196,15 +198,25 @@ def calibrate_pipeline_sp(
     pipeline, variables: Dict[str, Any], frame_pairs, margin: float = 1.0
 ) -> QuantSP:
     """Calibrate from RAW uint8 frame pairs via the pipeline's own
-    preprocessing (resize/normalize + TV-L1), so activation scales see
-    exactly the serving input distribution.
+    preprocessing (resize/normalize + TV-L1 — or the precomputed flow
+    image when one is supplied), so activation scales see exactly the
+    serving input distribution. Feeding TV-L1 statistics to a stream
+    that will serve dense_flow JPEGs (or vice versa) would silently
+    mis-scale the temporal activations.
 
-    frame_pairs: iterable of (prev_u8, cur_u8) (B, H, W, 3) arrays.
+    frame_pairs: iterable of (prev_u8, cur_u8) or
+      (prev_u8, cur_u8, flow_img_u8_or_None) (B, H, W, C) arrays.
     """
-    pre = jax.jit(pipeline.preprocess_pair)
+    if not frame_pairs:
+        raise ValueError("PTQ calibration needs at least one frame pair")
     rgb_b, flow_b = [], []
-    for prev, cur in frame_pairs:
-        r, f = pre(jnp.asarray(prev), jnp.asarray(cur))
+    for pair in frame_pairs:
+        prev, cur = pair[0], pair[1]
+        fl = pair[2] if len(pair) > 2 else None
+        r, f = jax.jit(pipeline.preprocess_pair)(
+            jnp.asarray(prev), jnp.asarray(cur),
+            None if fl is None else jnp.asarray(fl),
+        )
         rgb_b.append(np.asarray(r, np.float32))
         flow_b.append(np.asarray(f, np.float32))
     return calibrate_sp(variables["sp"]["params"], rgb_b, flow_b, margin)

@@ -40,7 +40,7 @@ def _frozen_maps(pipeline: GazePipeline, frozen: Dict[str, Any], batch: Dict[str
     rgb_in, flow_in = pipeline.preprocess_pair(
         batch["prev"], batch["cur"], batch.get("flow_img")
     )
-    sal, feat = pipeline.sp.apply(frozen["sp"], rgb_in, flow_in)
+    sal, feat = pipeline.sp_forward(frozen["sp"], rgb_in, flow_in)
     w = fixation_pool(feat, batch["gaze"], cfg.at)
     carries = pipeline.lstm.init_carry(sal.shape[0])
     _, w_hat = pipeline.lstm.apply(frozen["at"], carries, w, method=LSTMNet.step)

@@ -64,15 +64,19 @@ def main() -> int:
 
     warnings = []
     report = {"root": args.root, "videos": {}, "subjects": manifest.subjects()}
-    tot_frames = tot_valid = tot_fix = tot_flow = 0
+    tot_frames = tot_valid = tot_fix = tot_flow = tot_pairs = 0
     for v in manifest.videos:
         recs = manifest.frames[v]
         n_img = len(os.listdir(os.path.join(args.root, "images", v)))
         n = len(recs)
         valid = sum(r.gaze_valid for r in recs)
         fix = sum(r.fixation > 0 for r in recs)
+        # Flow is consumed per consecutive PAIR under the current frame's
+        # name (data/gtea.py), so frame 0 never needs one — count
+        # coverage over pair targets only (a dense_flow dump with no
+        # frame-0 file is complete, not partial).
         flow = sum(r.flow_path is not None or r.flow_xy_paths is not None
-                   for r in recs)
+                   for r in recs if r.index > 0)
         fixsac_on_disk = os.path.exists(
             os.path.join(args.root, "fixsac", v + ".txt"))
         entry = {
@@ -80,7 +84,7 @@ def main() -> int:
             "gaze_valid_pct": round(100.0 * valid / max(n, 1), 1),
             "fixation_pct": round(100.0 * fix / max(n, 1), 1),
             "fixsac_source": "txt" if fixsac_on_disk else "derived_idt",
-            "flow_coverage_pct": round(100.0 * flow / max(n, 1), 1),
+            "flow_coverage_pct": round(100.0 * flow / max(n - 1, 1), 1),
         }
         if n < n_img:
             entry["truncated_from"] = n_img
@@ -94,6 +98,7 @@ def main() -> int:
         tot_valid += valid
         tot_fix += fix
         tot_flow += flow
+        tot_pairs += max(n - 1, 0)
 
     # Decode one frame: confirms native/PIL decode works and the real
     # resolution matches the --camera preset the AAE math will assume.
@@ -113,9 +118,9 @@ def main() -> int:
         "frames": tot_frames,
         "gaze_valid_pct": round(100.0 * tot_valid / max(tot_frames, 1), 1),
         "fixation_pct": round(100.0 * tot_fix / max(tot_frames, 1), 1),
-        "flow_coverage_pct": round(100.0 * tot_flow / max(tot_frames, 1), 1),
+        "flow_coverage_pct": round(100.0 * tot_flow / max(tot_pairs, 1), 1),
     }
-    if 0 < tot_flow < tot_frames:
+    if 0 < tot_flow < tot_pairs:
         warnings.append("partial flows/ coverage — --precomputed_flow auto "
                         "will fall back to on-TPU TV-L1")
 
@@ -142,7 +147,17 @@ def main() -> int:
         batch = next(iter(pair_batches(
             recs, args.batch_size, (cfg.image.height, cfg.image.width),
             shuffle=False, drop_remainder=False,
-        )))
+        )), None)
+        if batch is None:
+            warnings.append(
+                "pipeline_check: no consecutive-frame pairs exist (every "
+                "video has <2 usable frames) — nothing to run"
+            )
+            report["pipeline_check"] = None
+            report["ok"] = True
+            report["warnings"] = warnings
+            print(json.dumps(report, indent=1))
+            return 2
         state = pipeline.init_state(batch["cur"].shape[0])
         _, out = jax.jit(pipeline.step)(
             variables, state, batch["prev"], batch["cur"], batch["fixsac"],
