@@ -50,12 +50,15 @@ from gaze_tpu.models.pipeline import GazePipeline
 from gaze_tpu.models.weights_io import init_sp_from_torch_vgg16
 from gaze_tpu.parallel.mesh import make_mesh
 from gaze_tpu.train.at import (
+    build_at_validation_windows,
     build_tbptt_schedule,
     build_weight_sequences,
     create_at_state,
     fixation_onset_weights,
+    make_at_eval_step,
     make_at_tbptt_step,
     make_at_train_step,
+    split_at_validation,
 )
 from gaze_tpu.train.lf import (
     create_lf_state,
@@ -161,11 +164,24 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(default per TVL1Config)")
     p.add_argument("--tvl1_iters", type=int, default=None,
                    help="override TV-L1 primal-dual iterations per warp")
+    p.add_argument("--tvl1_preset", choices=["ipol", "dense_flow"],
+                   default="ipol",
+                   help="solver schedule: ipol (Sanchez et al. defaults) "
+                        "or dense_flow (OpenCV DualTVL1 defaults — scale "
+                        "step 0.8, medianBlur 5, 5x30 iterations — to "
+                        "approximate the reference's actual flow when "
+                        "flows/ is absent; ~3x solver cost)")
     p.add_argument("--quant_sp", action="store_true",
                    help="int8-quantize the SP VGG streams for eval/"
                         "extraction (PTQ calibrated on a few training "
                         "batches; models/quant.py). Serving-path knob — "
                         "training stages ignore it")
+    p.add_argument("--quant_percentile", type=float, default=None,
+                   help="calibrate activation scales at this upper "
+                        "percentile of |x| (e.g. 99.9) instead of the "
+                        "max — robust to outlier pixels on real data")
+    p.add_argument("--quant_calib_batches", type=int, default=8,
+                   help="training batches used for PTQ calibration")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (the debug-config stand-in "
                         "for sanitizers; SURVEY.md §5)")
@@ -191,8 +207,13 @@ def make_config(args) -> PipelineConfig:
         if getattr(args, "camera", "gtea_plus") == "gtea"
         else CameraConfig.gtea_gaze_plus()
     )
+    tvl1_base = base.tvl1
+    if getattr(args, "tvl1_preset", "ipol") == "dense_flow":
+        from gaze_tpu.core.config import dense_flow_tvl1_config
+
+        tvl1_base = dense_flow_tvl1_config()
     tvl1 = dataclasses.replace(
-        base.tvl1,
+        tvl1_base,
         flow_scale=getattr(args, "flow_scale", 1.0),
         **{
             k: v
@@ -387,11 +408,25 @@ def run_train_lstm(args, cfg, pipeline, mesh, sp_vars) -> Dict:
     video_w = [w for w in video_w if len(w) >= 2]
     if not video_w:
         raise RuntimeError("no fixation sequences extracted — check fixsac labels")
+    # Held-out fixation windows: masked next-weight MSE each epoch drives
+    # best-checkpoint tracking, like SP (val AAE) and LF (epoch-end AAE).
+    video_w, val_w = split_at_validation(video_w)
+    val_seqs, val_mask = build_at_validation_windows(val_w, args.seq_len)
+    eval_fn = make_at_eval_step(pipeline)
 
     state = create_at_state(jax.random.key(cfg.train.seed), pipeline)
     ckpt_dir = args.at_ckpt or os.path.join(args.save_dir, "at")
     state = restore_checkpoint(ckpt_dir, state)
     logger = StepLogger("at", every=args.log_every)
+
+    def validate_and_track() -> None:
+        if not len(val_seqs):
+            return
+        val_mse = float(
+            eval_fn(state.params, jnp.asarray(val_seqs), jnp.asarray(val_mask))
+        )
+        logger.log(int(state.step), {"val_mse": val_mse}, force=True)
+        save_best_checkpoint(ckpt_dir, int(state.step), jax.device_get(state), val_mse)
 
     if args.at_stateless:
         # Ablation path: independent zero-carry windows, shuffled.
@@ -422,6 +457,7 @@ def run_train_lstm(args, cfg, pipeline, mesh, sp_vars) -> Dict:
                          "mask": jnp.asarray(masks[idx])}
                 state, metrics = step_fn(state, batch)
                 logger.log(int(state.step), metrics)
+            validate_and_track()
     else:
         lanes = max(1, min(args.batch_size, len(video_w)))
         at_mesh = mesh
@@ -444,9 +480,13 @@ def run_train_lstm(args, cfg, pipeline, mesh, sp_vars) -> Dict:
                 state, metrics = step_fn(state, batch)
                 carry_c, carry_h = metrics["carry_c"], metrics["carry_h"]
                 logger.log(int(state.step), {"loss": metrics["loss"]})
+            validate_and_track()
 
     save_checkpoint(ckpt_dir, int(state.step), jax.device_get(state))
-    return {"params": state.params}
+    # Downstream stages get the best-validation LSTM, not the final
+    # epoch's (ref:AT.py per-stage best-checkpoint pattern, SURVEY §2).
+    best = restore_best_or_latest(ckpt_dir, state)
+    return {"params": best.params}
 
 
 def run_train_late(args, cfg, pipeline, mesh, sp_vars, at_vars) -> Dict:
@@ -684,7 +724,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     if args.train_late or args.eval or args.extract_late or args.export_torch:
         if at_vars is None:
             state = create_at_state(rng, pipeline)
-            state = restore_checkpoint(
+            state = restore_best_or_latest(
                 args.at_ckpt or os.path.join(args.save_dir, "at"), state
             )
             at_vars = {"params": state.params}
@@ -704,16 +744,20 @@ def main(argv: Optional[List[str]] = None) -> None:
             pairs.append(
                 (batch["prev"], batch["cur"], batch.get("flow_img"))
             )
-            if len(pairs) >= 4:
+            if len(pairs) >= args.quant_calib_batches:
                 break
         if not pairs:
             raise ValueError(
                 "--quant_sp: no training batches available for PTQ "
                 "calibration (empty training split?)"
             )
-        qsp = calibrate_pipeline_sp(pipeline, {"sp": sp_vars}, pairs)
+        qsp = calibrate_pipeline_sp(
+            pipeline, {"sp": sp_vars}, pairs,
+            percentile=args.quant_percentile,
+        )
         eval_pipeline = dataclasses.replace(pipeline, quant_sp=qsp)
-        print({"quant_sp": "int8", "calibration_batches": len(pairs)})
+        print({"quant_sp": "int8", "calibration_batches": len(pairs),
+               "percentile": args.quant_percentile})
     if args.extract_late:
         run_extract_late(args, cfg, eval_pipeline, sp_vars, at_vars)
     if args.train_late:

@@ -52,6 +52,12 @@ class TVL1Config:
     presmooth_sigma: float = 0.8
     # 3x3 median filter on the flow between warps (OpenCV medianBlurring).
     median_filter: bool = True
+    # Median kernel width: 3 = one 3x3 pass (IPOL); 5 = two chained 3x3
+    # passes — a documented approximation of OpenCV's medianBlur(5)
+    # (true 5x5 median = 25-wide sorting network; the iterated-3x3
+    # root-median agrees away from fine structure, which TV-smooth flow
+    # fields lack).
+    median_kernel: int = 3
     # Use the block-anchored Pallas warp kernel on TPU (ops/pallas/warp.py);
     # falls back to the gather-based warp off-TPU regardless.
     use_pallas_warp: bool = True
@@ -194,6 +200,28 @@ class PipelineConfig:
     camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+def dense_flow_tvl1_config() -> TVL1Config:
+    """TV-L1 schedule mirroring OpenCV's DualTVL1 defaults — the solver
+    dense_flow (yjxiong/dense_flow) actually wraps (SURVEY.md §2 native
+    inventory): scaleStep 0.8, nscales 5, warps 5, medianBlur 5, and a
+    fixed 30 primal-dual iterations per warp standing in for OpenCV's
+    epsilon-stopped 10x30 outer/inner schedule (epsilon stopping is a
+    dynamic trip count XLA can't compile; 30 fixed iterations matches
+    the typical converged effort). Use when ``flows/`` is absent but the
+    on-TPU solve should approximate the reference's flow statistics:
+    ~3x the primal-dual work of the IPOL default (150 vs 50 iterations
+    per level) on a 1.6x deeper effective pyramid (factor 0.8 vs 0.5).
+    Cost/accuracy vs the IPOL preset: docs/STATUS.md round-3 table.
+    """
+    return TVL1Config(
+        pyramid_levels=5,
+        pyramid_factor=0.8,
+        warps=5,
+        iters=30,
+        median_kernel=5,
+    )
 
 
 def default_config() -> PipelineConfig:

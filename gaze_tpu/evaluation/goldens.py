@@ -62,6 +62,67 @@ def compare_goldens(
     return ok, report
 
 
+def golden_tiny_parity_config():
+    """32² parity-path config for the pinned tiny bundle (mirrors the
+    test-suite tiny config; small solver so CPU recompute stays fast)."""
+    from gaze_tpu.core.config import (
+        ATConfig,
+        ImageConfig,
+        PipelineConfig,
+        TVL1Config,
+    )
+
+    return PipelineConfig(
+        image=ImageConfig(height=32, width=32, heatmap_sigma=4.0),
+        tvl1=TVL1Config(pyramid_levels=2, warps=2, iters=5),
+        at=ATConfig(feature_stride=16, roi_size=1),
+    )
+
+
+def parity_golden_bundle(size: str = "tiny") -> Dict[str, np.ndarray]:
+    """Compute the PINNED cross-session parity bundle for ``size``
+    ("tiny" = 32² B=2, "full" = 224² B=1, the parity preset).
+
+    Everything — init params AND inputs — derives from fixed PRNG seeds,
+    so the bundle reproduces on any session with the same software stack
+    without committed checkpoints. The committed copies live in
+    ``tests/goldens/parity_*.npz``; the regression test recomputes this
+    function and compares within tolerance, so a kernel/config change
+    that shifts the f32 parity numerics fails CI instead of drifting
+    silently (the reference-era equivalent of its stored ``save/*.pth.tar``
+    + dumped maps, ref:utils.py checkpoint workflow, SURVEY.md §3.2).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gaze_tpu.core.config import parity_config
+    from gaze_tpu.data.synthetic import SyntheticSpec, generate_sequence
+    from gaze_tpu.models.pipeline import GazePipeline
+
+    if size == "tiny":
+        cfg, batch = golden_tiny_parity_config(), 2
+    elif size == "full":
+        cfg, batch = parity_config(), 1
+    else:
+        raise ValueError(f"unknown golden size {size!r}")
+    pipeline = GazePipeline(cfg)  # float32 parity dtype
+    variables = pipeline.init_variables(jax.random.key(0))
+    frames, _, _ = generate_sequence(
+        SyntheticSpec(
+            num_frames=batch + 1,
+            height=cfg.image.height,
+            width=cfg.image.width,
+            seed=7,
+        )
+    )
+    prev = jnp.asarray(frames[:batch])
+    cur = jnp.asarray(frames[1 : batch + 1])
+    fixation = jnp.ones((batch,), jnp.float32)
+    state = pipeline.init_state(batch)
+    out = pipeline_module_outputs(pipeline, variables, state, prev, cur, fixation)
+    return {k: np.asarray(v, np.float32) for k, v in out.items()}
+
+
 def pipeline_module_outputs(
     pipeline, variables, state, prev_u8, cur_u8, fixation, flow_img=None
 ):

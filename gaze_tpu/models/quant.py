@@ -8,15 +8,29 @@ encoders — the fuse/decoder/LF tail stays in the pipeline dtype: it is
 ~20% of the step, and BN/sigmoid heads are the numerically delicate
 parts.
 
-Scheme (standard symmetric PTQ):
+Scheme (asymmetric activations, symmetric weights):
   - weights: per-output-channel int8, scale = max|w| / 127 per channel;
-  - activations: per-layer per-tensor int8, scales CALIBRATED by running
-    representative batches through the f32 VGG and recording max|x|
-    (post-ReLU activations are nonnegative, so symmetric signed int8
-    spends one bit on the empty negative range — the usual PTQ cost);
+  - activations: the first layer's input (normalized RGB/flow, signed)
+    is symmetric signed int8 (zero-point 0, scale = bound/127). Every
+    INTERIOR activation is post-ReLU and therefore nonnegative, so it
+    uses the full unsigned [0, 255] grid (scale = bound/255 — half the
+    quantization step of the signed grid) stored as int8 with
+    zero-point 128 (stored value = q - 128). The zero-point folds into
+    the conv bias via precomputed per-output-channel weight column sums
+    (sum of the int8 kernel over h,w,in), so the MXU still sees a plain
+    s8 x s8 -> s32 convolution;
+  - SAME padding must inject REAL zeros: on the zero-point-128 grid the
+    real-zero code is stored -128, so interior convs pad explicitly
+    (jnp.pad constant_values=-128) and convolve VALID — exact, and the
+    pad fuses into the conv's input read;
+  - activation bounds are CALIBRATED by running representative batches
+    through the f32 VGG, recording either max|x| (default) or an upper
+    percentile of |x| (outlier-robust; the max over per-batch
+    percentiles is kept so coverage cannot collapse on a quiet batch);
   - conv accumulates in int32 on the MXU (preferred_element_type), then
-    dequantize + bias + ReLU run fused on the VPU, and the result
-    requantizes to int8 for the next layer.
+    dequantize + zero-point-bias + ReLU + next-layer requantize run as
+    ONE fused multiply-add-round-clip on the VPU (ReLU folds into the
+    clip's lower bound), and the result stays int8 in HBM.
 
 The reference has no quantized path (research code, SURVEY.md §1); this
 is a TPU-deployment feature measured against the trained checkpoints:
@@ -26,7 +40,7 @@ see docs/STATUS.md for the throughput/accuracy numbers.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +54,10 @@ _LAYERS: Tuple[str, ...] = tuple(
     for i in range(len(stage))
 )
 
+# Zero point of every interior (post-ReLU) activation grid; the first
+# layer's signed input uses zero point 0. Stored int8 = q - _ZP.
+_ZP = 128
+
 
 @dataclasses.dataclass(frozen=True)
 class QuantVGG:
@@ -49,6 +67,7 @@ class QuantVGG:
     w_scales: Dict[str, jnp.ndarray]  # (O,) f32 per-output-channel
     biases: Dict[str, jnp.ndarray]    # (O,) f32
     act_scales: Dict[str, jnp.ndarray]  # () f32 input scale per layer
+    col_sums: Dict[str, jnp.ndarray]  # (O,) f32 sum of int8 kernel over h,w,i
 
 
 def quantize_vgg_params(params: Dict[str, Any]) -> Tuple[
@@ -68,19 +87,24 @@ def quantize_vgg_params(params: Dict[str, Any]) -> Tuple[
 
 
 def vgg_forward_with_maxes(
-    params: Dict[str, Any], x: jnp.ndarray
+    params: Dict[str, Any], x: jnp.ndarray, percentile: Optional[float] = None
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """f32 VGG forward that also returns max|input| per conv layer —
-    the calibration observable for activation scales."""
+    """f32 VGG forward that also returns the per-conv-layer input bound —
+    max|input| by default, or the given upper percentile of |input|
+    (e.g. 99.9) for outlier-robust calibration."""
     from flax.linen import max_pool
 
-    maxes: Dict[str, jnp.ndarray] = {}
+    bounds: Dict[str, jnp.ndarray] = {}
     li = 0
     for s, stage in enumerate(VGG16_STAGES):
         for _ in stage:
             name = _LAYERS[li]
             li += 1
-            maxes[name] = jnp.max(jnp.abs(x))
+            a = jnp.abs(x)
+            bounds[name] = (
+                jnp.max(a) if percentile is None
+                else jnp.percentile(a.ravel(), percentile)
+            )
             k = params[name]["kernel"].astype(jnp.float32)
             b = params[name]["bias"].astype(jnp.float32)
             x = jax.lax.conv_general_dilated(
@@ -90,24 +114,35 @@ def vgg_forward_with_maxes(
             x = jax.nn.relu(x)
         if s < len(VGG16_STAGES) - 1:
             x = max_pool(x, window_shape=(2, 2), strides=(2, 2))
-    return x, maxes
+    return x, bounds
 
 
 def calibrate_vgg(
-    params: Dict[str, Any], batches: List[np.ndarray], margin: float = 1.0
+    params: Dict[str, Any],
+    batches: List[np.ndarray],
+    margin: float = 1.0,
+    percentile: Optional[float] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Run representative batches through the f32 stream; return per-layer
-    symmetric activation scales (max|x| * margin / 127)."""
+    activation scales.
+
+    The recorded bound is max|x| (default) or the upper ``percentile`` of
+    |x| per batch, aggregated by max over batches. The first layer's
+    signed input gets the symmetric grid (bound/127); interior post-ReLU
+    inputs get the full unsigned [0,255] grid (bound/255)."""
     if not batches:
         raise ValueError("PTQ calibration needs at least one batch")
-    fn = jax.jit(lambda x: vgg_forward_with_maxes(params, x)[1])
+    fn = jax.jit(lambda x: vgg_forward_with_maxes(params, x, percentile)[1])
     agg: Dict[str, float] = {}
     for b in batches:
         m = jax.device_get(fn(jnp.asarray(b, jnp.float32)))
         for k, v in m.items():
             agg[k] = max(agg.get(k, 0.0), float(v))
     return {
-        k: jnp.asarray(max(v, 1e-12) * margin / 127.0, jnp.float32)
+        k: jnp.asarray(
+            max(v, 1e-12) * margin / (127.0 if k == _LAYERS[0] else 255.0),
+            jnp.float32,
+        )
         for k, v in agg.items()
     }
 
@@ -116,50 +151,81 @@ def build_quant_vgg(
     params: Dict[str, Any], act_scales: Dict[str, jnp.ndarray]
 ) -> QuantVGG:
     kernels, w_scales, biases = quantize_vgg_params(params)
+    col_sums = {
+        name: jnp.sum(k.astype(jnp.float32), axis=(0, 1, 2))
+        for name, k in kernels.items()
+    }
     return QuantVGG(kernels=kernels, w_scales=w_scales, biases=biases,
-                    act_scales=dict(act_scales))
+                    act_scales=dict(act_scales), col_sums=col_sums)
 
 
 def quant_vgg_forward(q: QuantVGG, x: jnp.ndarray) -> jnp.ndarray:
     """int8 VGG16 forward: f32 NHWC input -> f32 conv5 features.
 
     int8-RESIDENT chain: each conv accumulates in int32 on the MXU and
-    its epilogue writes the next layer's int8 input directly —
-    dequant, bias, ReLU and the next requant fold into one fused
-    multiply-add-round-clip (ReLU folds into the clip's lower bound 0,
-    valid because scales are positive), so intermediate activations
-    cross HBM as int8 (4x less traffic than f32 intermediates).
-    Max-pooling runs on the int8 tensors (max commutes with the
-    positive-scale quantization). Only conv5_3 dequantizes to f32.
-    Numerics match the naive dequant->requant scheme up to float
-    associativity in the folded scale.
+    its epilogue writes the next layer's int8 input directly — dequant,
+    zero-point bias (128 * col_sum, exact on the asymmetric grid), conv
+    bias, ReLU and the next requant fold into one fused
+    multiply-add-round-clip (ReLU folds into the clip, valid because
+    scales are positive), so intermediate activations cross HBM as int8
+    (4x less traffic than f32 intermediates). Interior convs pad
+    explicitly with the real-zero code -128 and run VALID so SAME
+    padding stays exact on the shifted grid. Max-pooling runs on the
+    int8 tensors (max commutes with the monotone affine dequant). Only
+    conv5_3 dequantizes to f32. Numerics match the naive
+    dequant->requant scheme up to float associativity in the folded
+    scale.
     """
     from flax.linen import max_pool
 
     x = x.astype(jnp.float32)
     sx0 = q.act_scales[_LAYERS[0]]
+    # First layer input: signed data, symmetric grid, zero point 0 —
+    # SAME zero-padding is exact here.
     xq = jnp.clip(jnp.round(x / sx0), -127, 127).astype(jnp.int8)
+    zp = 0
     li = 0
     for s, stage in enumerate(VGG16_STAGES):
         for _ in stage:
             name = _LAYERS[li]
             li += 1
             sx = q.act_scales[name]
-            acc = jax.lax.conv_general_dilated(
-                xq, q.kernels[name], (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32,
-            )
+            if zp == 0:
+                acc = jax.lax.conv_general_dilated(
+                    xq, q.kernels[name], (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+            else:
+                # Asymmetric grid: real zero is stored -128, so pad with
+                # that code and convolve VALID (all VGG convs are 3x3).
+                xp = jnp.pad(
+                    xq, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=np.int8(-_ZP),
+                )
+                acc = jax.lax.conv_general_dilated(
+                    xp, q.kernels[name], (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+            # True accumulator on the real scale:
+            #   sx * w_scale * (acc + zp * col_sum)
+            # (zp * col_sum corrects the stored -zp offset; exact because
+            # padding taps carry the real-zero code).
+            zp_bias = (zp * q.col_sums[name]) if zp else 0.0
             if li < len(_LAYERS):
-                # Fused epilogue into the NEXT layer's int8 grid.
+                # Fused epilogue into the NEXT layer's asymmetric grid:
+                # q' = clip(round(y/sn), 0, 255), stored q' - 128.
                 sn = q.act_scales[_LAYERS[li]]
                 a = (sx * q.w_scales[name]) / sn
-                c = q.biases[name] / sn
+                c = (q.biases[name] / sn - _ZP) + zp_bias * a
                 xq = jnp.clip(
-                    jnp.round(acc.astype(jnp.float32) * a + c), 0, 127
+                    jnp.round(acc.astype(jnp.float32) * a + c), -128, 127
                 ).astype(jnp.int8)
+                zp = _ZP
             else:  # conv5_3: dequantize for the f32/bf16 consumers
-                xf = acc.astype(jnp.float32) * (sx * q.w_scales[name])
+                sw = sx * q.w_scales[name]
+                xf = (acc.astype(jnp.float32) + zp_bias) * sw
                 xf = jax.nn.relu(xf + q.biases[name])
         if s < len(VGG16_STAGES) - 1:
             xq = max_pool(xq, window_shape=(2, 2), strides=(2, 2))
@@ -179,23 +245,25 @@ def calibrate_sp(
     rgb_batches: List[np.ndarray],
     flow_batches: List[np.ndarray],
     margin: float = 1.0,
+    percentile: Optional[float] = None,
 ) -> QuantSP:
     """Calibrate + quantize both SP encoder streams from representative
     (already preprocessed/normalized) rgb and flow inputs."""
     return QuantSP(
         spatial=build_quant_vgg(
             sp_params["spatial"],
-            calibrate_vgg(sp_params["spatial"], rgb_batches, margin),
+            calibrate_vgg(sp_params["spatial"], rgb_batches, margin, percentile),
         ),
         temporal=build_quant_vgg(
             sp_params["temporal"],
-            calibrate_vgg(sp_params["temporal"], flow_batches, margin),
+            calibrate_vgg(sp_params["temporal"], flow_batches, margin, percentile),
         ),
     )
 
 
 def calibrate_pipeline_sp(
-    pipeline, variables: Dict[str, Any], frame_pairs, margin: float = 1.0
+    pipeline, variables: Dict[str, Any], frame_pairs, margin: float = 1.0,
+    percentile: Optional[float] = None,
 ) -> QuantSP:
     """Calibrate from RAW uint8 frame pairs via the pipeline's own
     preprocessing (resize/normalize + TV-L1 — or the precomputed flow
@@ -210,21 +278,26 @@ def calibrate_pipeline_sp(
     if not frame_pairs:
         raise ValueError("PTQ calibration needs at least one frame pair")
     rgb_b, flow_b = [], []
+    # One jit reused across pairs — wrapping inside the loop would
+    # retrace (and re-invoke the ~5-9 s relay compile service) per batch.
+    pre = jax.jit(pipeline.preprocess_pair)
     for pair in frame_pairs:
         prev, cur = pair[0], pair[1]
         fl = pair[2] if len(pair) > 2 else None
-        r, f = jax.jit(pipeline.preprocess_pair)(
+        r, f = pre(
             jnp.asarray(prev), jnp.asarray(cur),
             None if fl is None else jnp.asarray(fl),
         )
         rgb_b.append(np.asarray(r, np.float32))
         flow_b.append(np.asarray(f, np.float32))
-    return calibrate_sp(variables["sp"]["params"], rgb_b, flow_b, margin)
+    return calibrate_sp(
+        variables["sp"]["params"], rgb_b, flow_b, margin, percentile
+    )
 
 
 jax.tree_util.register_dataclass(
     QuantVGG,
-    data_fields=["kernels", "w_scales", "biases", "act_scales"],
+    data_fields=["kernels", "w_scales", "biases", "act_scales", "col_sums"],
     meta_fields=[],
 )
 jax.tree_util.register_dataclass(

@@ -42,6 +42,16 @@ from gaze_tpu.ops.warp import warp_backward
 _EPS_GRAD = 1e-9
 
 
+def _median(u: jnp.ndarray, cfg: TVL1Config) -> jnp.ndarray:
+    """Inter-warp flow median: one 3x3 pass (IPOL), or two chained 3x3
+    passes approximating OpenCV's medianBlur(5) for the dense_flow-
+    matched preset (core.config.dense_flow_tvl1_config)."""
+    u = median3x3(u)
+    if cfg.median_kernel >= 5:
+        u = median3x3(u)
+    return u
+
+
 def _pyramid_shapes(h: int, w: int, levels: int, factor: float) -> List[Tuple[int, int]]:
     """Static pyramid geometry, finest first. Stops early if a level would
     drop below 16 px on a side (static decision — shapes are Python ints)."""
@@ -114,8 +124,8 @@ def _solve_level(
                 theta=cfg.theta,
             )
             if cfg.median_filter:
-                u1 = median3x3(u1)
-                u2 = median3x3(u2)
+                u1 = _median(u1, cfg)
+                u2 = _median(u2, cfg)
             continue
 
         def body(carry, _):
@@ -158,8 +168,8 @@ def _solve_level(
             unroll=min(cfg.iters, 5),
         )
         if cfg.median_filter:
-            u1 = median3x3(u1)
-            u2 = median3x3(u2)
+            u1 = _median(u1, cfg)
+            u2 = _median(u2, cfg)
 
     return u1, u2
 

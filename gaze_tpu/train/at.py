@@ -56,6 +56,68 @@ def make_at_train_step(pipeline: GazePipeline, mesh: Optional[Mesh] = None):
     return jit_dp_step(step, mesh)
 
 
+def make_at_eval_step(pipeline: GazePipeline):
+    """Masked next-weight MSE on held-out fixation windows.
+
+    The validation metric for AT best-checkpoint tracking (the
+    reference's per-stage trainers all checkpoint on validation —
+    ref:SP.py / ref:AT.py pattern, SURVEY.md §2). Stateless zero-carry
+    windows: a proxy for the TBPTT objective, cheap and deterministic.
+    ``(params, seqs (N,T,C), mask (N,T)) -> scalar mse``.
+    """
+
+    @jax.jit
+    def eval_mse(params, seqs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        pred = pipeline.lstm.apply({"params": params}, seqs[:, :-1])
+        m = (mask[:, :-1] * mask[:, 1:])[..., None]
+        err = (pred - seqs[:, 1:]) ** 2
+        return jnp.sum(err * m) / (jnp.sum(m) * seqs.shape[-1] + 1e-8)
+
+    return eval_mse
+
+
+def split_at_validation(
+    video_w: List[np.ndarray], holdout_frac: float = 0.1
+) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """Deterministic train/val split of per-video fixation sequences.
+
+    Multi-video corpora hold out the trailing ``max(1, N*frac)`` videos
+    (order is the caller's sorted-by-name order, so the split is stable
+    across runs). A single-video corpus holds out the trailing 20% of
+    its fixations (both sides keeping >=2 so each yields a pair); below
+    6 fixations the whole sequence doubles as validation — degenerate
+    but still a monotone signal for best-tracking on tiny smoke runs.
+    """
+    if len(video_w) >= 2:
+        n_val = max(1, int(len(video_w) * holdout_frac))
+        return video_w[:-n_val], video_w[-n_val:]
+    w = video_w[0]
+    if len(w) >= 6:
+        k = min(len(w) - 2, max(2, int(0.8 * len(w))))
+        return [w[:k]], [w[k:]]
+    return [w], [w]
+
+
+def build_at_validation_windows(
+    val_w: List[np.ndarray], seq_len: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack validation sequences into (N, seq_len, C) windows + mask
+    for :func:`make_at_eval_step`."""
+    seqs, masks = [], []
+    for w in val_w:
+        s, m = build_weight_sequences(
+            w, np.ones((len(w),), np.float32), seq_len, per_fixation=False
+        )
+        if len(s):
+            seqs.append(s)
+            masks.append(m)
+    if not seqs:
+        dim = val_w[0].shape[-1] if val_w else 0
+        return (np.zeros((0, seq_len, dim), np.float32),
+                np.zeros((0, seq_len), np.float32))
+    return np.concatenate(seqs), np.concatenate(masks)
+
+
 def fixation_onset_weights(weights: np.ndarray, fixsac: np.ndarray) -> np.ndarray:
     """Per-fixation weight vectors: one per run of fixsac==1 (its first
     frame — the reference operates per fixation, not per frame [M])."""

@@ -46,6 +46,9 @@ class TestCLIStages:
         )
         for stage in ("sp", "at", "lf"):
             assert os.path.isdir(os.path.join(save_dir, stage)), stage
+        # every stage tracks a best-validation checkpoint (AT included)
+        for stage in ("sp", "at", "lf"):
+            assert os.path.isdir(os.path.join(save_dir, stage + "_best")), stage
 
     def test_eval_from_checkpoints(self, save_dir):
         run_cli(

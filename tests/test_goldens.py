@@ -4,6 +4,7 @@ check of the full fused step on the float32 parity path."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaze_tpu.evaluation.goldens import (
     compare_goldens,
@@ -102,3 +103,48 @@ class TestFlowImageGoldens:
         )
         for k in out:
             np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(out2[k]))
+
+
+class TestPinnedParityBundle:
+    """Cross-session regression pin of the f32 parity path.
+
+    The committed bundles (tests/goldens/parity_{tiny,full}.npz) were
+    computed by `parity_golden_bundle` — params and inputs both derive
+    from fixed PRNG seeds, so any session on the same software stack
+    reproduces them. A kernel/XLA/config change that shifts the parity
+    numerics fails here instead of drifting silently.
+
+    Tolerance rationale: recompute on an identical stack is expected
+    bit-exact; atol=1e-5 (about one FMA-reordering ulp at these
+    magnitudes, the deviation the compiled-TPU kernel tests measured)
+    absorbs XLA point-release scheduling drift without masking real
+    logic changes — a one-line kernel edit shifts these tensors by
+    orders of magnitude more.
+
+    Regenerate deliberately with:
+        GAZE_TPU_UPDATE_GOLDENS=1 python -m pytest tests/test_goldens.py -k Pinned
+    """
+
+    TOL = 1e-5
+
+    @pytest.mark.parametrize("size", ["tiny", "full"])
+    def test_matches_committed_bundle(self, size):
+        import os
+
+        from gaze_tpu.evaluation.goldens import parity_golden_bundle
+
+        path = os.path.join(
+            os.path.dirname(__file__), "goldens", f"parity_{size}.npz"
+        )
+        actual = parity_golden_bundle(size)
+        if os.environ.get("GAZE_TPU_UPDATE_GOLDENS") == "1":
+            save_goldens(path, actual)
+            pytest.skip(f"regenerated {path}")
+        assert os.path.exists(path), (
+            "committed golden bundle missing — run with "
+            "GAZE_TPU_UPDATE_GOLDENS=1 to create it"
+        )
+        ok, report = compare_goldens(
+            actual, load_goldens(path), atol=self.TOL, rtol=self.TOL
+        )
+        assert ok, f"parity numerics drifted vs committed bundle: {report}"

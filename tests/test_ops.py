@@ -170,3 +170,55 @@ class TestTVL1AffineFlow:
         )[0]
         epe = np.linalg.norm(flow - gt_u, axis=-1)[10:-10, 10:-10]
         assert np.median(epe) < 0.5, float(np.median(epe))
+
+
+class TestDenseFlowPreset:
+    """The OpenCV-DualTVL1-matched schedule (dense_flow_tvl1_config):
+    recovers synthetic translations at least as accurately as the IPOL
+    default, on its documented 0.8-scale-step pyramid."""
+
+    def test_preset_values_mirror_opencv_defaults(self):
+        from gaze_tpu.core.config import dense_flow_tvl1_config
+
+        c = dense_flow_tvl1_config()
+        assert (c.pyramid_factor, c.pyramid_levels, c.warps) == (0.8, 5, 5)
+        assert c.iters == 30 and c.median_kernel == 5
+        # shared algorithm constants (both follow Zach/Pock/Bischof)
+        assert (c.tau, c.lambda_, c.theta) == (0.25, 0.15, 0.3)
+
+    def test_recovers_translation_at_least_as_well_as_ipol(self):
+        from scipy.ndimage import map_coordinates
+
+        from gaze_tpu.core.config import dense_flow_tvl1_config
+
+        tex = smooth_texture(48, 64, seed=3, sigma=3.0)[0]
+        dx, dy = 2.0, 1.0
+        ys, xs = np.mgrid[0:48, 0:64].astype(np.float32)
+        i1 = map_coordinates(tex, [ys - dy, xs - dx], order=1, mode="nearest")
+        args = (jnp.asarray(tex[None]), jnp.asarray(i1[None].astype(np.float32)))
+
+        def err(cfg):
+            flow = np.asarray(tvl1_flow(*args, cfg))
+            interior = flow[0, 8:-8, 8:-8]
+            return abs(np.median(interior[..., 0]) - dx) + abs(
+                np.median(interior[..., 1]) - dy
+            )
+
+        e_df = err(dense_flow_tvl1_config())
+        e_ipol = err(TVL1Config())
+        assert e_df < 0.4, e_df
+        # 3x the PD work + finer pyramid must not be WORSE (small slack
+        # for median-kernel differences on synthetic texture)
+        assert e_df <= e_ipol + 0.05, (e_df, e_ipol)
+
+    def test_median5_kernel_is_smoother(self):
+        # two chained 3x3 medians remove isolated outliers a single pass
+        # leaves in pairs
+        from gaze_tpu.ops.image import median3x3
+
+        rng = np.random.default_rng(0)
+        u = rng.normal(0, 0.1, (1, 16, 16)).astype(np.float32)
+        u[0, 8, 8] = u[0, 8, 9] = 10.0  # outlier PAIR survives one pass
+        one = np.asarray(median3x3(jnp.asarray(u)))
+        two = np.asarray(median3x3(median3x3(jnp.asarray(u))))
+        assert two.max() < one.max()

@@ -63,7 +63,10 @@ class TestQuantVGG:
         q = build_quant_vgg(params, scales)
         got = np.asarray(quant_vgg_forward(q, jnp.asarray(x)))
         assert got.shape == ref.shape
-        assert _cos(got, ref) > 0.98, _cos(got, ref)
+        # asymmetric [0,255] activations: measured 0.9998 (the signed
+        # symmetric scheme this replaced sat at ~0.98) — the VERDICT-r2
+        # "tighten ~2x" acceptance, with margin
+        assert _cos(got, ref) > 0.995, _cos(got, ref)
 
 
 class TestQuantPipeline:
@@ -95,3 +98,87 @@ class TestQuantPipeline:
         assert np.isfinite(np.asarray(got["heatmap"])).all()
         c = _cos(np.asarray(got["saliency"]), np.asarray(ref["saliency"]))
         assert c > 0.95, c
+
+
+def _naive_asym_forward(q, x):
+    """Reference implementation of the asymmetric scheme WITHOUT the
+    folded epilogues: dequantize -> f32 conv (with real zero padding)
+    -> bias -> ReLU -> requantize on the [0,255] grid, layer by layer.
+    quant_vgg_forward must match this up to float associativity."""
+    from flax.linen import max_pool
+
+    from gaze_tpu.models.quant import _LAYERS
+    from gaze_tpu.models.vgg import VGG16_STAGES
+
+    s0 = float(q.act_scales[_LAYERS[0]])
+    xq = np.clip(np.round(np.asarray(x, np.float32) / s0), -127, 127)
+    xd = jnp.asarray(xq * s0)  # dequantized real values, f32
+    li = 0
+    for s, stage in enumerate(VGG16_STAGES):
+        for _ in stage:
+            name = _LAYERS[li]
+            li += 1
+            k = (np.asarray(q.kernels[name], np.float32)
+                 * np.asarray(q.w_scales[name]))
+            y = jax.lax.conv_general_dilated(
+                xd, jnp.asarray(k), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(q.biases[name])
+            y = jax.nn.relu(y)
+            if li < len(_LAYERS):
+                sn = float(q.act_scales[_LAYERS[li]])
+                qv = jnp.clip(jnp.round(y / sn), 0, 255)
+                xd = qv * sn
+            else:
+                xd = y
+        if s < len(VGG16_STAGES) - 1:
+            xd = max_pool(xd, window_shape=(2, 2), strides=(2, 2))
+    return np.asarray(xd)
+
+
+class TestAsymmetricQuant:
+    """The asymmetric [0,255]-grid scheme: folded zero-point/padding
+    algebra must match the naive dequant->requant reference, and the
+    grid must be twice as fine as signed symmetric."""
+
+    def test_folded_matches_naive_reference(self, vgg_setup):
+        _, params, x = vgg_setup
+        scales = calibrate_vgg(params, [x])
+        q = build_quant_vgg(params, scales)
+        got = np.asarray(quant_vgg_forward(q, jnp.asarray(x)))
+        ref = _naive_asym_forward(q, jnp.asarray(x))
+        # The folded path accumulates EXACTLY in int32 while the naive
+        # reference convolves in f32, so round() decisions flip near
+        # ties and flips amplify through 13 layers: ~1.5% max-rel
+        # disagreement measured. A zero-point/padding bug instead shifts
+        # activations by ~128 quant steps — orders of magnitude beyond
+        # these bounds.
+        denom = np.abs(ref).max() + 1e-12
+        assert np.max(np.abs(got - ref)) / denom < 0.05
+        assert _cos(got, ref) > 0.999, _cos(got, ref)
+
+    def test_interior_grid_is_unsigned_255(self, vgg_setup):
+        _, params, x = vgg_setup
+        scales = calibrate_vgg(params, [x])
+        # interior scale = bound/255; recompute the bound via the stats
+        # forward and check the divisor (first layer keeps /127)
+        _, bounds = vgg_forward_with_maxes(params, jnp.asarray(x))
+        assert float(scales["conv1_1"]) == pytest.approx(
+            float(bounds["conv1_1"]) / 127.0, rel=1e-6
+        )
+        assert float(scales["conv3_2"]) == pytest.approx(
+            float(bounds["conv3_2"]) / 255.0, rel=1e-6
+        )
+
+    def test_percentile_calibration_shrinks_outlier_scale(self, vgg_setup):
+        _, params, x = vgg_setup
+        x_out = np.array(x)
+        x_out[0, 0, 0, 0] = 1e3  # one wild outlier pixel
+        s_max = calibrate_vgg(params, [x_out])
+        s_pct = calibrate_vgg(params, [x_out], percentile=99.9)
+        # max-based calibration blows up the first-layer scale; the
+        # percentile bound stays near the clean data's range
+        assert float(s_pct["conv1_1"]) < 0.05 * float(s_max["conv1_1"])
+        q = build_quant_vgg(params, s_pct)
+        out = np.asarray(quant_vgg_forward(q, jnp.asarray(x)))
+        assert np.isfinite(out).all()

@@ -267,3 +267,84 @@ class TestLFRolloutTraining:
         _, m_clean = step_fn(create_lf_state(jax.random.key(1), pipeline), clean)
         np.testing.assert_allclose(float(m_dirty["loss"]), float(m_clean["loss"]),
                                    rtol=1e-6)
+
+
+class TestATValidation:
+    """AT best-checkpoint tracking on held-out fixation windows
+    (ref:AT.py per-stage best-checkpoint pattern, SURVEY.md §2)."""
+
+    def test_split_holds_out_trailing_videos(self):
+        from gaze_tpu.train.at import split_at_validation
+
+        vids = [np.full((5, 8), i, np.float32) for i in range(12)]
+        tr, va = split_at_validation(vids)
+        assert len(tr) == 11 and len(va) == 1
+        assert va[0][0, 0] == 11.0  # deterministic: trailing video
+
+    def test_single_video_tail_split(self):
+        from gaze_tpu.train.at import split_at_validation
+
+        w = np.repeat(np.arange(10, dtype=np.float32)[:, None], 4, axis=1)
+        tr, va = split_at_validation([w])
+        assert len(tr) == 1 and len(va) == 1
+        assert len(tr[0]) >= 2 and len(va[0]) >= 2
+        assert len(tr[0]) + len(va[0]) == 10
+        assert va[0][0, 0] > tr[0][-1, 0]  # val is the tail
+
+    def test_validation_windows_mask_pairs(self, pipeline):
+        from gaze_tpu.train.at import build_at_validation_windows, make_at_eval_step
+
+        w = np.random.default_rng(0).uniform(0, 1, (5, 512)).astype(np.float32)
+        seqs, mask = build_at_validation_windows([w], seq_len=4)
+        assert seqs.shape[1] == 4 and mask.shape == seqs.shape[:2]
+        eval_fn = make_at_eval_step(pipeline)
+        m = float(eval_fn(
+            create_at_state(jax.random.key(0), pipeline).params,
+            jnp.asarray(seqs), jnp.asarray(mask)))
+        assert np.isfinite(m) and m >= 0
+
+    def test_best_checkpoint_survives_worsened_final_epoch(self, pipeline, tmp_path):
+        """A deliberately-worsened final epoch must still hand LF the
+        best-epoch LSTM via restore_best_or_latest."""
+        from gaze_tpu.core.checkpoint import (
+            restore_best_or_latest,
+            save_best_checkpoint,
+            save_checkpoint,
+        )
+        from gaze_tpu.train.at import (
+            build_at_validation_windows,
+            make_at_eval_step,
+            split_at_validation,
+        )
+
+        rng = np.random.default_rng(0)
+        base = rng.uniform(0, 1, (6, 1, 512)).astype(np.float32)
+        video_w = [np.repeat(b, 8, axis=0) for b in base]  # constant seqs
+        tr, va = split_at_validation(video_w)
+        seqs, mask = build_at_validation_windows(va, seq_len=4)
+        assert len(seqs)
+        eval_fn = make_at_eval_step(pipeline)
+        vs, vm = jnp.asarray(seqs), jnp.asarray(mask)
+
+        state = create_at_state(jax.random.key(0), pipeline)
+        step = make_at_train_step(pipeline)
+        ws = jnp.asarray(np.stack([w[:4] for w in tr]))
+        batch = {"weights": ws, "mask": jnp.ones(ws.shape[:2], jnp.float32)}
+        d = str(tmp_path / "at")
+        best_seen = np.inf
+        for _ in range(6):
+            state, _ = step(state, dict(batch))
+            m = float(eval_fn(state.params, vs, vm))
+            best_seen = min(best_seen, m)
+            save_best_checkpoint(d, int(state.step), jax.device_get(state), m)
+        # worsened "final epoch": blow up the params, save as latest
+        bad = state.replace(params=jax.tree.map(lambda x: x + 10.0, state.params))
+        m_bad = float(eval_fn(bad.params, vs, vm))
+        save_best_checkpoint(d, int(bad.step) + 1, jax.device_get(bad), m_bad)
+        save_checkpoint(d, int(bad.step) + 1, jax.device_get(bad))
+        assert m_bad > best_seen
+
+        restored = restore_best_or_latest(d, state)
+        m_rest = float(eval_fn(restored.params, vs, vm))
+        assert m_rest == pytest.approx(best_seen, rel=1e-5)
+        assert m_rest < m_bad

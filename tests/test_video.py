@@ -35,3 +35,102 @@ class TestVideoWrapper:
         )
         n = extract_frames(video, str(tmp_path / "out"))
         assert n == 5
+
+
+def _jpeg_bytes(value, size=16):
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((size, size, 3), value, np.uint8)).save(
+        buf, format="JPEG"
+    )
+    return buf.getvalue()
+
+
+class TestMJPEGAVIFallback:
+    """Pure-Python L0 ingestion: MJPEG AVI frames are complete JPEGs in
+    RIFF chunks, so video->frames runs with no ffmpeg binary at all."""
+
+    def test_writer_demuxer_roundtrip_bit_exact(self, tmp_path):
+        from gaze_tpu.data.video import iter_mjpeg_avi_frames, write_mjpeg_avi
+
+        frames = [_jpeg_bytes(v) for v in (0, 85, 170, 255, 40)]
+        path = str(tmp_path / "v.avi")
+        write_mjpeg_avi(path, frames, 16, 16)
+        got = list(iter_mjpeg_avi_frames(path))
+        assert got == frames  # stream copy: bit-exact JPEG payloads
+
+    def test_extract_frames_falls_back_without_ffmpeg(
+        self, tmp_path, monkeypatch
+    ):
+        import numpy as np
+        from PIL import Image
+
+        import gaze_tpu.data.video as video
+        from gaze_tpu.data.video import write_mjpeg_avi
+
+        monkeypatch.setattr(video, "ffmpeg_path", lambda: None)
+        frames = [_jpeg_bytes(v) for v in (10, 200, 90)]
+        avi = str(tmp_path / "clip.avi")
+        write_mjpeg_avi(avi, frames, 16, 16)
+        out = str(tmp_path / "out")
+        n = video.extract_frames(avi, out)
+        assert n == 3
+        # ffmpeg-compatible 1-based naming; payloads decode to the pixels
+        img = np.asarray(Image.open(f"{out}/000002.jpg"))
+        assert img.shape == (16, 16, 3)
+        assert abs(int(img.mean()) - 200) <= 3  # JPEG-lossy tolerance
+
+    def test_fps_resampling_still_requires_ffmpeg(self, tmp_path, monkeypatch):
+        import gaze_tpu.data.video as video
+
+        monkeypatch.setattr(video, "ffmpeg_path", lambda: None)
+        with pytest.raises(FFmpegNotFound, match="native-rate"):
+            video.extract_frames("whatever.avi", str(tmp_path / "o"), fps=10.0)
+
+    def test_non_avi_raises_actionable_error(self, tmp_path, monkeypatch):
+        import gaze_tpu.data.video as video
+
+        monkeypatch.setattr(video, "ffmpeg_path", lambda: None)
+        bad = tmp_path / "x.mp4"
+        bad.write_bytes(b"\x00\x00\x00\x18ftypmp42 not a riff file")
+        with pytest.raises(FFmpegNotFound, match="images/<video>/"):
+            video.extract_frames(str(bad), str(tmp_path / "o"))
+
+    def test_non_mjpeg_avi_rejected(self, tmp_path):
+        import struct
+
+        from gaze_tpu.data.video import NotMJPEGAVI, iter_mjpeg_avi_frames
+
+        # hand-build an AVI whose 00dc chunk is NOT JPEG (raw codec)
+        payload = b"\x00\x01\x02\x03"
+        chunk = b"00dc" + struct.pack("<I", len(payload)) + payload
+        movi = b"LIST" + struct.pack("<I", 4 + len(chunk)) + b"movi" + chunk
+        body = b"AVI " + movi
+        p = tmp_path / "raw.avi"
+        p.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+        with pytest.raises(NotMJPEGAVI, match="not JPEG"):
+            list(iter_mjpeg_avi_frames(str(p)))
+
+    def test_extract_dataset_covers_avi(self, tmp_path, monkeypatch):
+        """L0 end to end offline: videos/ -> images/<stem>/ layout that
+        build_manifest consumes (SURVEY.md §1 L0 -> L1 boundary)."""
+        import gaze_tpu.data.video as video
+        from gaze_tpu.data.video import write_mjpeg_avi
+
+        monkeypatch.setattr(video, "ffmpeg_path", lambda: None)
+        vids = tmp_path / "videos"
+        vids.mkdir()
+        write_mjpeg_avi(
+            str(vids / "S1_Coffee_C1.avi"), [_jpeg_bytes(60)] * 4, 16, 16
+        )
+        res = video.extract_dataset(str(vids), str(tmp_path / "images"))
+        assert res == {"S1_Coffee_C1": 4}
+        import os
+
+        assert sorted(os.listdir(tmp_path / "images" / "S1_Coffee_C1")) == [
+            "%06d.jpg" % i for i in range(1, 5)
+        ]
