@@ -182,6 +182,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "max — robust to outlier pixels on real data")
     p.add_argument("--quant_calib_batches", type=int, default=8,
                    help="training batches used for PTQ calibration")
+    p.add_argument("--tboard", default=None, metavar="DIR",
+                   help="also mirror step metrics into TensorBoard event "
+                        "files under DIR/<stage>/ (dependency-free "
+                        "writer, utils/tboard.py; SURVEY.md §5 "
+                        "observability)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (the debug-config stand-in "
                         "for sanitizers; SURVEY.md §5)")
@@ -311,7 +316,7 @@ def run_train_sp(args, cfg, pipeline, mesh) -> Dict:
     state = restore_checkpoint(ckpt_dir, state)
     step_fn = make_sp_train_step(pipeline, mesh)
     eval_fn = make_sp_eval_step(pipeline)
-    logger = StepLogger("sp", every=args.log_every)
+    logger = StepLogger("sp", every=args.log_every, tboard_dir=args.tboard)
 
     def validate_and_track(step_no: int) -> None:
         """Periodic val + best-checkpoint tracking (ref:SP.py "saves best
@@ -417,7 +422,7 @@ def run_train_lstm(args, cfg, pipeline, mesh, sp_vars) -> Dict:
     state = create_at_state(jax.random.key(cfg.train.seed), pipeline)
     ckpt_dir = args.at_ckpt or os.path.join(args.save_dir, "at")
     state = restore_checkpoint(ckpt_dir, state)
-    logger = StepLogger("at", every=args.log_every)
+    logger = StepLogger("at", every=args.log_every, tboard_dir=args.tboard)
 
     def validate_and_track() -> None:
         if not len(val_seqs):
@@ -501,7 +506,7 @@ def run_train_late(args, cfg, pipeline, mesh, sp_vars, at_vars) -> Dict:
         step_fn = make_lf_train_step(pipeline, frozen, mesh)
         batches = lambda: _batches(args, cfg, train=True)
     eval_fn = make_lf_eval_step(pipeline, frozen)
-    logger = StepLogger("lf", every=args.log_every)
+    logger = StepLogger("lf", every=args.log_every, tboard_dir=args.tboard)
     for epoch in range(args.epochs):
         for batch in device_prefetch(batches(), mesh):
             state, metrics = step_fn(state, batch)

@@ -296,21 +296,31 @@ def rollout_eval_videos(
                     use_precomputed_flow,
                 )
 
-            starts = list(range(1, T_max, chunk_len))
-            fut = pool.submit(decode, starts[0])
-            for si, s in enumerate(starts):
-                frames_c, fix_c, gaze_c, valid_c, flow_c = fut.result()
-                if si + 1 < len(starts):
-                    # decode the next chunk while the device runs this one
-                    fut = pool.submit(decode, starts[si + 1])
-                args = [
-                    variables, state, prev,
+            def to_device(chunk):
+                frames_c, fix_c, gaze_c, valid_c, flow_c = chunk
+                dev = [
                     jnp.asarray(frames_c), jnp.asarray(fix_c),
                     jnp.asarray(gaze_c), jnp.asarray(valid_c),
                 ]
                 if use_precomputed_flow:
-                    args.append(jnp.asarray(flow_c))
-                state, prev, sums = chunk_fn(*args)
+                    dev.append(jnp.asarray(flow_c))
+                return dev
+
+            starts = list(range(1, T_max, chunk_len))
+            fut = pool.submit(decode, starts[0])
+            dev = to_device(fut.result())
+            for si, s in enumerate(starts):
+                if si + 1 < len(starts):
+                    # decode the next chunk while the device runs this one
+                    fut = pool.submit(decode, starts[si + 1])
+                # async dispatch: returns before the device finishes
+                state, prev, sums = chunk_fn(variables, state, prev, *dev)
+                if si + 1 < len(starts):
+                    # decode + H2D of chunk k+1 ride out chunk k's compute
+                    # (the frame tensors dominate transfer; on
+                    # relay-attached hosts H2D is the eval bottleneck —
+                    # same overlap serve.py's submit() uses)
+                    dev = to_device(fut.result())
                 # np.asarray syncs on the device chunk — the decode
                 # thread keeps working through this wait.
                 aae_s += np.asarray(sums["aae"], np.float64)

@@ -140,10 +140,13 @@ def pd_iterations(
 
     # Frames per program, sized against real VMEM usage: Pallas
     # double-buffers every in/out block (2 x 16 canvases) and the loop
-    # carry + temps live on top (~6 canvases). Largest divisor of B.
+    # carry + scheduler temps live on top. Measured on v5e: the compiler
+    # peaks at ~43 canvases/frame (a 38-canvas estimate overflowed the
+    # 16M scoped VMEM by 92K at the dense_flow preset's 179² pyramid
+    # level) — budget 44 with 14M headroom. Largest divisor of B.
     frame_bytes = Hk * Wk * 4
     budget = 14 * 1024 * 1024
-    gb_max = max(1, budget // ((2 * 16 + 6) * frame_bytes))
+    gb_max = max(1, budget // (44 * frame_bytes))
     gb = max(d for d in range(1, min(B, gb_max) + 1) if B % d == 0)
     n_prog = B // gb
 

@@ -18,12 +18,21 @@ import numpy as np
 
 
 class StepLogger:
-    def __init__(self, name: str, every: int = 50, stream=None):
+    def __init__(self, name: str, every: int = 50, stream=None,
+                 tboard_dir: Optional[str] = None):
+        """``tboard_dir``: also mirror every logged scalar into a
+        TensorBoard events file at ``<tboard_dir>/<name>/`` (the
+        dependency-free writer in utils/tboard.py)."""
         self.name = name
         self.every = every
         self.stream = stream or sys.stdout
         self._t0 = time.perf_counter()
         self._last_step = 0
+        self._tb = None
+        if tboard_dir:
+            from gaze_tpu.utils.tboard import SummaryWriter
+
+            self._tb = SummaryWriter(os.path.join(tboard_dir, name))
 
     def log(self, step: int, metrics: Dict[str, Any], force: bool = False) -> None:
         if not force and step % self.every != 0:
@@ -36,6 +45,9 @@ class StepLogger:
         line = {"stage": self.name, "step": step, "steps_per_sec": round(sps, 2), **vals}
         self.stream.write(json.dumps(line) + "\n")
         self.stream.flush()
+        if self._tb is not None:
+            self._tb.add_scalars(vals, step)
+            self._tb.flush()
 
 
 def dump_heatmap_png(path: str, heatmap: np.ndarray, frame: Optional[np.ndarray] = None) -> None:
