@@ -87,6 +87,19 @@ def build_argparser() -> argparse.ArgumentParser:
                         "map-extraction stage; the in-memory LF path does "
                         "not need it, but the files match the reference "
                         "workflow)")
+    p.add_argument("--infer", type=str, default=None, metavar="PATH",
+                   help="run gaze inference on a raw video file (MJPEG "
+                        "AVI works with no ffmpeg; other codecs need "
+                        "ffmpeg on PATH) or a directory of frames; "
+                        "writes a per-frame gaze track in native pixel "
+                        "coords (SURVEY §3.4 packaged end to end)")
+    p.add_argument("--infer_out", type=str, default=None, metavar="TXT",
+                   help="gaze-track output path (default "
+                        "<save_dir>/infer_gaze.txt)")
+    p.add_argument("--infer_heatmaps", type=str, default=None, metavar="DIR",
+                   help="also dump predicted heatmap PNGs here")
+    p.add_argument("--infer_heatmap_every", type=int, default=10,
+                   help="dump every Nth heatmap (with --infer_heatmaps)")
     p.add_argument("--eval", action="store_true",
                    help="evaluate the full pipeline: per-video sequential "
                         "rollout (fixsac-gated LSTM state carried across "
@@ -698,6 +711,97 @@ def _run_eval_rollout(args, cfg, pipeline, sp_vars, at_vars, lf_state,
     return result
 
 
+def run_infer(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> str:
+    """``--infer PATH``: raw video (or a directory of frames) → per-frame
+    gaze track — the reference's practical end-use, SURVEY.md §3.4's
+    one-frame inference loop packaged as a command.
+
+    L0 ingestion (ffmpeg when present, else the pure-Python MJPEG-AVI
+    demuxer in data/video.py) → streaming sequential rollout through
+    StreamServer (LSTM state carried across the whole video, fixation
+    onsets from online I-DT on the model's own predicted gaze — no eye
+    tracker at inference) → ``<out>.txt`` with one "x y" row per frame
+    in NATIVE pixel coordinates, mirroring the dataset's gaze txt
+    format. Frame 0 has no flow pair and is written as "-1 -1",
+    matching StreamServer's first-tick semantics.
+
+    Note: frames are host-resized (PIL bilinear) to the model grid
+    before H2D — the serving transport layout — so heatmaps/gaze can
+    differ from the on-device-resize eval path at the last ulp.
+    """
+    import tempfile
+
+    from PIL import Image
+
+    from gaze_tpu.serve import StreamServer
+    from gaze_tpu.utils.logging import dump_heatmap_png
+
+    src = args.infer
+    frames_dir = src
+    if os.path.isfile(src):
+        from gaze_tpu.data.video import extract_frames
+
+        frames_dir = tempfile.mkdtemp(prefix="gaze_infer_frames_")
+        n = extract_frames(src, frames_dir)
+        print({"infer_extracted_frames": n, "frames_dir": frames_dir})
+    exts = (".jpg", ".jpeg", ".png")
+    paths = sorted(
+        os.path.join(frames_dir, f)
+        for f in os.listdir(frames_dir)
+        if f.lower().endswith(exts)
+    )
+    if not paths:
+        raise FileNotFoundError(f"--infer: no frames found under {frames_dir}")
+
+    th, tw = cfg.image.height, cfg.image.width
+    variables = {"sp": sp_vars, "at": at_vars, "lf": {"params": lf_state.params}}
+    want_maps = bool(args.infer_heatmaps)
+    server = StreamServer(
+        cfg, variables, max_streams=1, dtype=pipeline.dtype,
+        keep_heatmaps=want_maps, quant_sp=pipeline.quant_sp,
+    )
+    server.attach(0)
+
+    native_wh = None
+    results = []
+
+    def take(out):
+        if out is None:
+            return
+        g = np.asarray(out["gaze"])[0]
+        hm = np.asarray(out["heatmap"])[0] if want_maps else None
+        results.append((g, hm))
+
+    for p in paths:
+        img = Image.open(p).convert("RGB")
+        if native_wh is None:
+            native_wh = img.size
+        # Serving transport layout: model-grid uint8 over the wire.
+        frame = np.asarray(img.resize((tw, th), Image.BILINEAR), np.uint8)
+        take(server.submit(frame[None]))
+    take(server.flush())
+
+    nw, nh = native_wh
+    out_path = args.infer_out or os.path.join(args.save_dir, "infer_gaze.txt")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        for g, _ in results:
+            if g[0] < 0:  # first frame: no flow pair yet
+                f.write("-1 -1\n")
+            else:
+                f.write(f"{g[0] * nw / tw:.2f} {g[1] * nh / th:.2f}\n")
+    if want_maps:
+        os.makedirs(args.infer_heatmaps, exist_ok=True)
+        for i, (_, hm) in enumerate(results):
+            if hm is not None and i % args.infer_heatmap_every == 0:
+                dump_heatmap_png(
+                    os.path.join(args.infer_heatmaps, f"{i:06d}.png"), hm
+                )
+    print({"infer_frames": len(results), "gaze_track": out_path,
+           "native_size": [nw, nh]})
+    return out_path
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     args = build_argparser().parse_args(argv)
     if args.debug_nans:
@@ -717,7 +821,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     if args.train_sp:
         sp_vars = run_train_sp(args, cfg, pipeline, mesh)
     if (args.train_lstm or args.train_late or args.eval or args.extract_late
-            or args.export_torch):
+            or args.export_torch or args.infer):
         if sp_vars is None:
             state = create_sp_state(rng, pipeline)
             state = restore_best_or_latest(
@@ -726,7 +830,8 @@ def main(argv: Optional[List[str]] = None) -> None:
             sp_vars = {"params": state.params, "batch_stats": state.batch_stats}
     if args.train_lstm:
         at_vars = run_train_lstm(args, cfg, pipeline, mesh, sp_vars)
-    if args.train_late or args.eval or args.extract_late or args.export_torch:
+    if (args.train_late or args.eval or args.extract_late or args.export_torch
+            or args.infer):
         if at_vars is None:
             state = create_at_state(rng, pipeline)
             state = restore_best_or_latest(
@@ -737,7 +842,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     # full-precision pipeline (a separate object, so --train_late in the
     # same invocation never trains the LF head through the int8 path).
     eval_pipeline = pipeline
-    if args.quant_sp and (args.eval or args.extract_late):
+    if args.quant_sp and (args.eval or args.extract_late or args.infer):
         # PTQ: calibrate activation scales on a few training batches via
         # the pipeline's own preprocessing — including precomputed flow
         # images when the data path supplies them, so the temporal
@@ -767,7 +872,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         run_extract_late(args, cfg, eval_pipeline, sp_vars, at_vars)
     if args.train_late:
         lf_state = run_train_late(args, cfg, pipeline, mesh, sp_vars, at_vars)
-    if args.eval or args.export_torch:
+    if args.eval or args.export_torch or args.infer:
         if lf_state is None:
             state = create_lf_state(rng, pipeline)
             lf_state = restore_best_or_latest(
@@ -775,6 +880,8 @@ def main(argv: Optional[List[str]] = None) -> None:
             )
     if args.eval:
         run_eval(args, cfg, eval_pipeline, sp_vars, at_vars, lf_state, mesh=mesh)
+    if args.infer:
+        run_infer(args, cfg, eval_pipeline, sp_vars, at_vars, lf_state)
     if args.export_torch:
         from gaze_tpu.models.weights_export import export_pipeline_to_torch
 

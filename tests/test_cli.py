@@ -278,3 +278,47 @@ class TestCLIConfig:
         assert fast.tvl1.flow_scale == prod.tvl1.flow_scale == 0.5
         assert (fast.tvl1.warps, fast.tvl1.iters) == (3, 5)
         assert gaze_tpu.parity_config().tvl1.flow_scale == 1.0
+
+
+class TestInferVideo:
+    """--infer: raw MJPEG AVI -> per-frame gaze track, end to end with
+    no ffmpeg binary (SURVEY §3.4 packaged; L0 ingestion via the
+    pure-Python demuxer)."""
+
+    def test_infer_from_mjpeg_avi(self, save_dir, tmp_path):
+        import io
+
+        from PIL import Image
+
+        from gaze_tpu.data.synthetic import SyntheticSpec, generate_sequence
+        from gaze_tpu.data.video import write_mjpeg_avi
+
+        frames, _, _ = generate_sequence(
+            SyntheticSpec(num_frames=6, height=48, width=64, blob_sigma=3.0)
+        )
+        jpegs = []
+        for fr in frames:
+            buf = io.BytesIO()
+            Image.fromarray(fr).save(buf, format="JPEG", quality=92)
+            jpegs.append(buf.getvalue())
+        avi = str(tmp_path / "clip.avi")
+        write_mjpeg_avi(avi, jpegs, 64, 48)
+
+        out_txt = str(tmp_path / "gaze.txt")
+        hm_dir = str(tmp_path / "maps")
+        run_cli([
+            "--infer", avi, "--infer_out", out_txt,
+            "--infer_heatmaps", hm_dir, "--infer_heatmap_every", "2",
+            "--save_dir", save_dir,  # empty -> random-init weights
+        ] + ARGS_COMMON)
+
+        rows = open(out_txt).read().strip().splitlines()
+        assert len(rows) == 6
+        assert rows[0] == "-1 -1"  # no flow pair for frame 0
+        for r in rows[1:]:
+            x, y = (float(v) for v in r.split())
+            assert 0 <= x < 64 and 0 <= y < 48  # native coords
+        import os
+
+        pngs = sorted(os.listdir(hm_dir))
+        assert pngs and all(p.endswith(".png") for p in pngs)
