@@ -51,11 +51,12 @@ class StreamServer:
             ``data/fixation.py``) — a new fixation after a saccade fires
             an LSTM onset, so attention keeps updating for the stream's
             lifetime.
-          - "always": every frame flagged as fixation. NOTE: the pipeline
+          - "static": every frame flagged as fixation. The pipeline
             gates the LSTM on fixation *onset* (fix * (1 - prev_fix)), so
             this mode advances the LSTM exactly once per stream and the
-            attention weights stay frozen afterwards — only useful as a
-            deliberate "static attention" mode.
+            attention weights stay frozen afterwards — a deliberate
+            "static attention" ablation, named for what it does.
+            ("always" is accepted as a deprecated alias and warns.)
         idt_dispersion_px: max (x-extent + y-extent) of a fixation window,
           in model-grid pixels (default tuned for 224x224; data/fixation.py
           uses 25 px at 960-wide native resolution, 25 * 224/960 ~ 6-8 px).
@@ -63,7 +64,18 @@ class StreamServer:
         quant_sp: optional models.quant.QuantSP — serve the calibrated
           int8 VGG streams (see GazePipeline.quant_sp).
         """
-        if fixation_source not in ("idt", "always"):
+        if fixation_source == "always":
+            import warnings
+
+            warnings.warn(
+                'fixation_source="always" advances the LSTM exactly once '
+                "per stream (onset gating) — renamed to the self-describing "
+                '"static"; the "always" alias will be removed.',
+                DeprecationWarning,
+                stacklevel=2,
+            )
+            fixation_source = "static"
+        if fixation_source not in ("idt", "static"):
             raise ValueError(f"unknown fixation_source {fixation_source!r}")
         self.pipeline = GazePipeline(config, dtype=dtype, quant_sp=quant_sp)
         self.variables = variables
@@ -144,7 +156,7 @@ class StreamServer:
         if fixations is None:
             if self.fixation_source == "idt":
                 fixations = self._idt_labels()
-            else:  # "always" — static-attention mode (one LSTM onset ever)
+            else:  # "static" — static-attention mode (one LSTM onset ever)
                 fixations = np.ones((self.max_streams,), np.float32)
         cur = jnp.asarray(frames)
         fix = jnp.asarray(fixations, jnp.float32) * jnp.asarray(

@@ -121,7 +121,7 @@ class TestServingIDT:
 
     def test_default_mode_advances_lstm_on_new_fixations(self, served):
         """With fixation_source='idt' (default), a steady predicted-gaze
-        stream eventually raises a fixation onset — unlike the 'always'
+        stream eventually raises a fixation onset — unlike the 'static'
         mode, whose single onset freezes attention for the stream's life."""
         cfg, variables, frames, fixsac = served
         srv = StreamServer(cfg, variables, max_streams=1,
@@ -135,3 +135,28 @@ class TestServingIDT:
             onsets += int(fix == 1.0 and prev_fix == 0.0)
             prev_fix = fix
         assert onsets >= 1  # the LSTM actually advanced in self-running mode
+
+    def test_static_mode_and_always_alias(self, served):
+        """'static' fires exactly one onset per stream life; 'always' is a
+        deprecated alias that warns and maps to the same behavior."""
+        cfg, variables, frames, fixsac = served
+        srv = StreamServer(cfg, variables, max_streams=1,
+                           fixation_source="static")
+        srv.attach(0)
+        onsets = 0
+        prev_fix = 0.0
+        for t in range(len(frames)):
+            srv.tick(frames[t : t + 1])
+            fix = float(np.asarray(srv._state.prev_fix)[0])
+            onsets += int(fix == 1.0 and prev_fix == 0.0)
+            prev_fix = fix
+        assert onsets == 1  # onset gating: exactly one LSTM advance
+
+        with pytest.warns(DeprecationWarning, match="static"):
+            alias = StreamServer(cfg, variables, max_streams=1,
+                                 fixation_source="always")
+        assert alias.fixation_source == "static"
+
+        with pytest.raises(ValueError):
+            StreamServer(cfg, variables, max_streams=1,
+                         fixation_source="sometimes")
