@@ -104,6 +104,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="evaluate the full pipeline: per-video sequential "
                         "rollout (fixsac-gated LSTM state carried across "
                         "frames, AT pooled at the SP argmax — SURVEY §3.4)")
+    p.add_argument("--eval_map", choices=["heatmap", "saliency", "attention"],
+                   default="heatmap",
+                   help="which map the rollout eval scores: the LF fusion "
+                        "(default, the reference's metric), the SP "
+                        "saliency alone, or the AT attention alone — "
+                        "same rollout trajectory, per-head ablation")
     p.add_argument("--eval_teacher_forced", action="store_true",
                    help="diagnostic eval variant: stateless per-frame AT "
                         "pooled at the GT gaze (NOT the reference's "
@@ -114,6 +120,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="leave-one-subject-out test subject")
     p.add_argument("--synthetic", action="store_true",
                    help="use the synthetic moving-dot dataset")
+    p.add_argument("--synthetic_blobs", type=int, default=1, metavar="K",
+                   help="K > 1 switches the synthetic corpus to the "
+                        "TASK-CYCLE variant: K distinct-color blobs with "
+                        "no bottom-up cue for which is fixated — gaze "
+                        "cycles them in a fixed color order only the AT "
+                        "transition LSTM can learn (the non-vacuous "
+                        "SP-vs-full ablation corpus; docs/STATUS.md)")
     p.add_argument("--precomputed_flow", choices=["auto", "on", "off"],
                    default="auto",
                    help="consume dense_flow JPEGs from <root>/flows/ for "
@@ -132,6 +145,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "AT pooled at SP argmax — the inference-time map "
                         "distribution) instead of teacher-forced "
                         "single-frame maps; 0 = teacher-forced (faster)")
+    p.add_argument("--at_pool", choices=["sp_argmax", "prediction"],
+                   default="sp_argmax",
+                   help="AT pooling point at fixation onsets during "
+                        "rollout (eval/serving/--lf_rollout): the "
+                        "current SP argmax (default, parity path) or "
+                        "the model's own previous final prediction "
+                        "(self-tracking mode — the LSTM then "
+                        "anticipates the CURRENT fixation; see the "
+                        "task-cycle ablation in docs/STATUS.md)")
     p.add_argument("--at_stateless", action="store_true",
                    help="ablation: train AT on independent zero-carry "
                         "windows instead of the default stateful TBPTT "
@@ -263,6 +285,23 @@ def _flow_mode(args) -> Optional[bool]:
     ]
 
 
+def _synth_spec(args, cfg: PipelineConfig, seed: int,
+                num_frames: Optional[int] = None) -> SyntheticSpec:
+    """Synthetic-corpus spec honoring --synthetic_blobs (task-cycle
+    corpora need more frames per video: one cycle visit = ~10 frames,
+    and the LSTM needs several full color cycles to see)."""
+    k = getattr(args, "synthetic_blobs", 1)
+    if num_frames is None:
+        num_frames = max(64, args.batch_size * 4)
+        if k > 1:
+            num_frames = max(num_frames, 40 * k)
+    return SyntheticSpec(
+        num_frames=num_frames,
+        height=cfg.image.height, width=cfg.image.width,
+        seed=seed, num_blobs=k,
+    )
+
+
 def _clip_batches(args, cfg: PipelineConfig, clip_len: int) -> Iterator[Dict]:
     """Contiguous-clip batch source for rollout-mode LF training."""
     if args.data_root:
@@ -280,10 +319,7 @@ def _clip_batches(args, cfg: PipelineConfig, clip_len: int) -> Iterator[Dict]:
         )
     from gaze_tpu.data.synthetic import clip_iterator
 
-    spec = SyntheticSpec(
-        num_frames=max(64, args.batch_size * 4),
-        height=cfg.image.height, width=cfg.image.width, seed=0,
-    )
+    spec = _synth_spec(args, cfg, seed=0)
     return clip_iterator(spec, args.batch_size, clip_len, args.steps_per_epoch)
 
 
@@ -305,12 +341,7 @@ def _batches(args, cfg: PipelineConfig, train: bool) -> Iterator[Dict]:
             shuffle=train,
             use_precomputed_flow=_flow_mode(args),
         )
-    spec = SyntheticSpec(
-        num_frames=max(64, args.batch_size * 4),
-        height=cfg.image.height,
-        width=cfg.image.width,
-        seed=0 if train else 1,
-    )
+    spec = _synth_spec(args, cfg, seed=0 if train else 1)
     return batch_iterator(spec, args.batch_size, args.steps_per_epoch, seed=0 if train else 1)
 
 
@@ -672,6 +703,7 @@ def _run_eval_rollout(args, cfg, pipeline, sp_vars, at_vars, lf_state,
             pipeline, variables, vids,
             use_precomputed_flow=_flow_mode(args),
             mesh=mesh,
+            score_key=getattr(args, "eval_map", "heatmap"),
         )
         for v in sorted(results):
             aae_v, auc_v, n = results[v]
@@ -684,12 +716,12 @@ def _run_eval_rollout(args, cfg, pipeline, sp_vars, at_vars, lf_state,
         # Synthetic: a handful of held-out moving-dot videos with
         # DISTINCT seeds, rolled out sequentially.
         n_videos = 4
-        T = max(32, args.batch_size)
+        k = getattr(args, "synthetic_blobs", 1)
+        T = max(32, args.batch_size, 40 * k if k > 1 else 0)
         frames, gaze, fixsac = [], [], []
         for i in range(n_videos):
             f, g, fx = generate_sequence(
-                SyntheticSpec(num_frames=T, height=cfg.image.height,
-                              width=cfg.image.width, seed=1000 + i)
+                _synth_spec(args, cfg, seed=1000 + i, num_frames=T)
             )
             frames.append(f)
             gaze.append(g)
@@ -698,6 +730,7 @@ def _run_eval_rollout(args, cfg, pipeline, sp_vars, at_vars, lf_state,
             pipeline, variables,
             np.stack(frames), np.stack(gaze), np.stack(fixsac),
             mesh=mesh,
+            score_key=getattr(args, "eval_map", "heatmap"),
         )
         for i in range(n_videos):
             per_video[f"synthetic_{i}"] = (
@@ -759,6 +792,7 @@ def run_infer(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> str:
     server = StreamServer(
         cfg, variables, max_streams=1, dtype=pipeline.dtype,
         keep_heatmaps=want_maps, quant_sp=pipeline.quant_sp,
+        at_pool=pipeline.at_pool,
     )
     server.attach(0)
 
@@ -807,7 +841,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     cfg = make_config(args)
-    pipeline = GazePipeline(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    pipeline = GazePipeline(
+        cfg,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        at_pool=getattr(args, "at_pool", "sp_argmax"),
+    )
     # DP mesh sized so the batch divides across it: the largest divisor
     # of batch_size that fits the available (or requested) devices.
     avail = args.dp_devices or jax.device_count()

@@ -37,6 +37,7 @@ def make_rollout_chunk_fn(
     pipeline: GazePipeline,
     with_flow: bool = False,
     mesh: Optional[Mesh] = None,
+    score_key: str = "heatmap",
 ) -> Callable:
     """jit-compiled chunk evaluator.
 
@@ -61,7 +62,17 @@ def make_rollout_chunk_fn(
     across chips with zero inter-chip communication (each chip rolls out
     its own video slots; only the final (V,) sums come back to host).
     V must be a multiple of ``mesh.size`` (callers pad groups).
+
+    ``score_key`` picks which of the step's maps is scored — "heatmap"
+    (the LF fusion, default = the reference's reported metric),
+    "saliency" (SP-only ablation) or "attention" (AT-only ablation).
+    The rollout dynamics are identical in all three: the LSTM still
+    advances on onsets and AT still pools at the SP argmax; only the
+    scored map changes, so the ablations isolate each head's
+    contribution on the same trajectory.
     """
+    if score_key not in ("heatmap", "saliency", "attention"):
+        raise ValueError(f"unknown score_key {score_key!r}")
     cfg = pipeline.config
 
     def chunk_fn(variables, state, prev, frames, fixsac, gaze, valid, flow_img=None):
@@ -73,8 +84,8 @@ def make_rollout_chunk_fn(
                 cur, fix, gz, vd = xs
                 fl = None
             st, out = pipeline.step(variables, st, pv, cur, fix, flow_img=fl)
-            a = aae(out["heatmap"], gz, cfg.camera)
-            u = auc_judd(out["heatmap"], gz)
+            a = aae(out[score_key], gz, cfg.camera)
+            u = auc_judd(out[score_key], gz)
             # where (not *): a masked frame may carry NaN gaze, and
             # NaN * 0 would poison the sum.
             keep = vd > 0
@@ -122,6 +133,7 @@ def rollout_eval_arrays(
     valid: Optional[np.ndarray] = None,
     chunk_len: int = 32,
     mesh: Optional[Mesh] = None,
+    score_key: str = "heatmap",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Rollout-evaluate V equal-length in-memory videos.
 
@@ -148,7 +160,7 @@ def rollout_eval_arrays(
         fixsac = np.concatenate([fixsac, np.zeros((pad_v,) + fixsac.shape[1:], fixsac.dtype)])
         valid = np.concatenate([valid, np.zeros((pad_v, T), np.float32)])
         V = V + pad_v
-    chunk_fn = make_rollout_chunk_fn(pipeline, mesh=mesh)
+    chunk_fn = make_rollout_chunk_fn(pipeline, mesh=mesh, score_key=score_key)
     state = pipeline.init_state(V)
     prev = jnp.asarray(frames[:, 0])
     aae_s = np.zeros((V,), np.float64)
@@ -232,6 +244,7 @@ def rollout_eval_videos(
     group_size: int = 8,
     use_precomputed_flow: Optional[bool] = None,
     mesh: Optional[Mesh] = None,
+    score_key: str = "heatmap",
 ) -> Dict[str, Tuple[float, float, int]]:
     """Rollout-evaluate GTEA videos from FrameRecord lists.
 
@@ -268,7 +281,8 @@ def rollout_eval_videos(
         )
 
     chunk_fn = make_rollout_chunk_fn(
-        pipeline, with_flow=use_precomputed_flow, mesh=mesh
+        pipeline, with_flow=use_precomputed_flow, mesh=mesh,
+        score_key=score_key,
     )
     results: Dict[str, Tuple[float, float, int]] = {}
 

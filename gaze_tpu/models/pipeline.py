@@ -56,6 +56,11 @@ class StreamState(NamedTuple):
                           # LSTM advances once per fixation ONSET
                           # ("if new fixation" — SURVEY.md §3.4 [M]),
                           # not on every frame within a fixation
+    prev_gaze: jnp.ndarray # (B, 2) previous frame's FINAL predicted
+                          # gaze — the pooling point when
+                          # ``at_pool="prediction"`` (self-tracking
+                          # streaming mode); carried but unused under
+                          # the default "sp_argmax"
 
 
 @dataclasses.dataclass
@@ -71,8 +76,21 @@ class GazePipeline:
     config: PipelineConfig
     dtype: Any = jnp.float32
     quant_sp: Any = None
+    # Where the AT module pools its channel weights at a fixation onset
+    # when no teacher gaze is supplied:
+    #   "sp_argmax"  — the CURRENT frame's SP saliency argmax (default;
+    #                  the parity path pinned by the golden bundles);
+    #   "prediction" — the PREVIOUS frame's final-heatmap argmax: the
+    #                  model tracks its own gaze estimate, so the LSTM
+    #                  consumes the fixation sequence one onset late
+    #                  and its output ANTICIPATES the current fixation
+    #                  — the lock-on mode the task-cycle ablation
+    #                  measures (docs/STATUS.md).
+    at_pool: str = "sp_argmax"
 
     def __post_init__(self):
+        if self.at_pool not in ("sp_argmax", "prediction"):
+            raise ValueError(f"unknown at_pool {self.at_pool!r}")
         self.sp = SPNet(self.config.sp, dtype=self.dtype)
         self.lstm = LSTMNet(self.config.at, dtype=self.dtype)
         self.lf = LateFusion(self.config.lf, dtype=self.dtype)
@@ -90,10 +108,16 @@ class GazePipeline:
         return {"sp": sp_vars, "at": lstm_vars, "lf": lf_vars}
 
     def init_state(self, batch: int) -> StreamState:
+        cfg = self.config
+        center = jnp.array(
+            [(cfg.image.width - 1) / 2.0, (cfg.image.height - 1) / 2.0],
+            jnp.float32,
+        )
         return StreamState(
             carries=self.lstm.init_carry(batch),
-            w_hat=jnp.ones((batch, self.config.at.feature_dim), jnp.float32),
+            w_hat=jnp.ones((batch, cfg.at.feature_dim), jnp.float32),
             prev_fix=jnp.zeros((batch,), jnp.float32),
+            prev_gaze=jnp.broadcast_to(center, (batch, 2)),
         )
 
     # ------------------------------------------------------- preproc ----
@@ -207,7 +231,12 @@ class GazePipeline:
         rgb_in, flow_in = self.preprocess_pair(prev_u8, cur_u8, flow_img)
         sal, feat = self.sp_forward(variables["sp"], rgb_in, flow_in)
 
-        pool_pt = heatmap_argmax(sal) if gaze_xy is None else gaze_xy
+        if gaze_xy is not None:
+            pool_pt = gaze_xy
+        elif self.at_pool == "prediction":
+            pool_pt = state.prev_gaze
+        else:
+            pool_pt = heatmap_argmax(sal)
         w = fixation_pool(feat, pool_pt, cfg.at)
 
         new_carries, w_pred = self.lstm.apply(
@@ -233,7 +262,10 @@ class GazePipeline:
             "heatmap": final,
             "gaze": heatmap_argmax(final),
         }
-        new_state = StreamState(carries=carries, w_hat=w_hat, prev_fix=fixation)
+        new_state = StreamState(
+            carries=carries, w_hat=w_hat, prev_fix=fixation,
+            prev_gaze=out["gaze"].astype(jnp.float32),
+        )
         return new_state, out
 
 

@@ -40,6 +40,7 @@ class StreamServer:
         idt_dispersion_px: float = 8.0,
         idt_window: int = 3,
         quant_sp=None,
+        at_pool: str = "sp_argmax",
     ):
         """Args (beyond the obvious):
 
@@ -63,6 +64,8 @@ class StreamServer:
         idt_window: trailing predicted-gaze frames a fixation must span.
         quant_sp: optional models.quant.QuantSP — serve the calibrated
           int8 VGG streams (see GazePipeline.quant_sp).
+        at_pool: AT pooling point at fixation onsets — "sp_argmax"
+          (default) or "prediction" (self-tracking; see GazePipeline).
         """
         if fixation_source == "always":
             import warnings
@@ -77,7 +80,9 @@ class StreamServer:
             fixation_source = "static"
         if fixation_source not in ("idt", "static"):
             raise ValueError(f"unknown fixation_source {fixation_source!r}")
-        self.pipeline = GazePipeline(config, dtype=dtype, quant_sp=quant_sp)
+        self.pipeline = GazePipeline(
+            config, dtype=dtype, quant_sp=quant_sp, at_pool=at_pool
+        )
         self.variables = variables
         self.max_streams = max_streams
         self.keep_heatmaps = keep_heatmaps

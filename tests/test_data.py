@@ -59,6 +59,115 @@ class TestSynthetic:
             assert b["fixsac"].shape == (4,)
 
 
+class TestTaskCycleCorpus:
+    """The num_blobs > 1 corpus: K equal-saliency colored blobs, gaze
+    cycling them in the fixed palette order — the offline stand-in for
+    the paper's 'bottom-up saliency is not enough' regime."""
+
+    @pytest.fixture(scope="class")
+    def seq(self):
+        spec = SyntheticSpec(
+            num_frames=80, height=96, width=96, blob_sigma=4.0,
+            num_blobs=2, seed=5,
+        )
+        return spec, generate_sequence(spec)
+
+    def test_single_blob_path_unchanged(self):
+        """num_blobs=1 must stay bit-exact vs the original generator
+        (the pinned parity goldens derive from it)."""
+        spec = SyntheticSpec(num_frames=8, height=32, width=32, seed=3)
+        a = generate_sequence(spec)
+        b = generate_sequence(
+            SyntheticSpec(num_frames=8, height=32, width=32, seed=3,
+                          num_blobs=1)
+        )
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_gaze_lands_on_a_blob_color(self, seq):
+        """On fixation frames the patch around gaze is dominated by ONE
+        palette color (the fixated blob)."""
+        from gaze_tpu.data.synthetic import BLOB_PALETTE
+
+        spec, (frames, gaze, fixsac) = seq
+        palette = np.asarray(BLOB_PALETTE[:2], np.float32)
+        hits = 0
+        for t in np.flatnonzero(fixsac)[::3]:
+            x, y = int(round(gaze[t, 0])), int(round(gaze[t, 1]))
+            px = frames[t, max(y, 0), max(x, 0)].astype(np.float32) / 255.0
+            d = np.linalg.norm(palette - px[None], axis=1)
+            hits += int(d.min() < 0.6)
+        assert hits >= 0.9 * len(np.flatnonzero(fixsac)[::3])
+
+    def test_cycle_order_is_fixed_across_seeds(self):
+        """The COLOR transition order is the task: every seed visits
+        palette colors in index order (phase may differ)."""
+        from gaze_tpu.data.synthetic import BLOB_PALETTE
+
+        palette = np.asarray(BLOB_PALETTE[:3], np.float32)
+        for seed in (0, 7):
+            spec = SyntheticSpec(
+                num_frames=160, height=96, width=96, blob_sigma=4.0,
+                num_blobs=3, seed=seed, blob_drift=0.0,
+            )
+            frames, gaze, fixsac = generate_sequence(spec)
+            # color id of each fixation segment
+            ids = []
+            for t in range(1, spec.num_frames):
+                if fixsac[t] == 1.0 and fixsac[t - 1] == 0.0 or (
+                    t == 1 and fixsac[0] == 1.0 and not ids
+                ):
+                    x, y = int(round(gaze[t, 0])), int(round(gaze[t, 1]))
+                    px = frames[t, y, x].astype(np.float32) / 255.0
+                    ids.append(int(np.linalg.norm(
+                        palette - px[None], axis=1).argmin()))
+            assert len(ids) >= 4
+            for a, b in zip(ids, ids[1:]):
+                assert b == (a + 1) % 3  # fixed cyclic order
+
+    def test_cue_is_weak_and_unreliable(self, seq):
+        """The brightness cue must stay WEAK (both blobs remain clear
+        modes — ratio > 1/cue_gain) and UNRELIABLE (with cue_prob=0.5
+        some fixation segments render both blobs equal): SP can't fully
+        solve the task from frames alone."""
+        from scipy.ndimage import gaussian_filter, maximum_filter
+
+        spec, (frames, gaze, fixsac) = seq
+        ratios = []
+        for t in np.flatnonzero(fixsac)[::2]:
+            lum = gaussian_filter(frames[t].astype(np.float32).sum(-1), 2.0)
+            peaks = (lum == maximum_filter(lum, 13)) & (
+                lum > lum.mean() + lum.std()
+            )
+            vals = np.sort(lum[peaks])[::-1]
+            if len(vals) >= 2:
+                ratios.append(vals[1] / vals[0])
+        ratios = np.asarray(ratios)
+        assert (ratios > 0.55).all()          # cue never drowns a blob
+        assert (ratios > 0.93).any()          # some segments uncued
+
+    def test_cue_prob_zero_is_symmetric(self):
+        """cue_prob=0 renders every blob at amplitude 1 on all frames."""
+        spec = SyntheticSpec(
+            num_frames=40, height=96, width=96, blob_sigma=4.0,
+            num_blobs=2, seed=5, cue_prob=0.0,
+        )
+        frames, _, _ = generate_sequence(spec)
+        bright = frames.astype(np.float32).sum(-1).max(axis=(1, 2))
+        assert bright.std() < 0.05 * bright.mean()
+
+    def test_determinism_and_validity(self, seq):
+        spec, (frames, gaze, fixsac) = seq
+        f2, g2, x2 = generate_sequence(spec)
+        np.testing.assert_array_equal(frames, f2)
+        np.testing.assert_array_equal(gaze, g2)
+        assert frames.dtype == np.uint8 and gaze.shape == (80, 2)
+
+    def test_palette_cap(self):
+        with pytest.raises(ValueError):
+            generate_sequence(SyntheticSpec(num_blobs=99, num_frames=4))
+
+
 class TestGTEAManifest:
     @pytest.fixture()
     def fake_root(self, tmp_path):

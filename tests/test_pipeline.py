@@ -42,10 +42,16 @@ class TestStep:
         state0 = pipeline.init_state(1)
         prev = jnp.asarray(frames[0:1])
         cur = jnp.asarray(frames[1:2])
-        # saccade frame: fixation=0 -> state must be unchanged
+        # saccade frame: fixation=0 -> the LSTM-gated state (carries,
+        # w_hat) must be unchanged (prev_gaze tracks the prediction on
+        # EVERY frame by design — it is not part of the gated state)
+        def gated(s):
+            return (s.carries, s.w_hat)
+
         state1, _ = pipeline.step(variables, state0, prev, cur, jnp.zeros((1,)))
         for a, b in zip(
-            jax.tree_util.tree_leaves(state0), jax.tree_util.tree_leaves(state1)
+            jax.tree_util.tree_leaves(gated(state0)),
+            jax.tree_util.tree_leaves(gated(state1)),
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         # fixation frame: state must change
@@ -53,10 +59,41 @@ class TestStep:
         changed = [
             not np.allclose(np.asarray(a), np.asarray(b))
             for a, b in zip(
-                jax.tree_util.tree_leaves(state0), jax.tree_util.tree_leaves(state2)
+                jax.tree_util.tree_leaves(gated(state0)),
+                jax.tree_util.tree_leaves(gated(state2)),
             )
         ]
         assert any(changed)
+
+    def test_at_pool_prediction_uses_previous_gaze(self, setup):
+        """at_pool='prediction' must pool at state.prev_gaze — its step
+        equals a teacher-forced step with gaze_xy=prev_gaze; the default
+        pools at the SP argmax instead (different onset input)."""
+        pipeline, variables, frames, _, _ = setup
+        pred = GazePipeline(pipeline.config, at_pool="prediction")
+        state = pred.init_state(1)
+        # seed a distinctive previous prediction away from the SP argmax
+        state = state._replace(prev_gaze=jnp.asarray([[3.0, 29.0]]))
+        prev = jnp.asarray(frames[0:1])
+        cur = jnp.asarray(frames[1:2])
+        fix = jnp.ones((1,))
+        _, out_pred = pred.step(variables, state, prev, cur, fix)
+        _, out_forced = pipeline.step(
+            variables, state, prev, cur, fix,
+            gaze_xy=state.prev_gaze,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_pred["heatmap"]), np.asarray(out_forced["heatmap"]),
+            atol=1e-6,
+        )
+        # prev_gaze advances to this frame's final prediction
+        _, out2 = pred.step(variables, state, prev, cur, fix)
+        s2, _ = pred.step(variables, state, prev, cur, fix)
+        np.testing.assert_allclose(
+            np.asarray(s2.prev_gaze), np.asarray(out2["gaze"]), atol=0
+        )
+        with pytest.raises(ValueError):
+            GazePipeline(pipeline.config, at_pool="final")
 
 
 class TestClip:

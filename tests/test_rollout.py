@@ -62,6 +62,26 @@ class TestRolloutArrays:
         np.testing.assert_array_equal(clean[2], [7, 6])
 
 
+class TestScoreKeyAblation:
+    def test_score_key_selects_map(self, rollout_setup):
+        """score_key='saliency'/'attention' score a different map than
+        the LF fusion on the SAME trajectory (random-init maps differ),
+        while count stays identical; bad keys raise."""
+        pipeline, variables, frames, gaze, fixsac = rollout_setup
+        full = rollout_eval_arrays(pipeline, variables, frames, gaze, fixsac)
+        sp = rollout_eval_arrays(pipeline, variables, frames, gaze, fixsac,
+                                 score_key="saliency")
+        at = rollout_eval_arrays(pipeline, variables, frames, gaze, fixsac,
+                                 score_key="attention")
+        np.testing.assert_array_equal(full[2], sp[2])
+        np.testing.assert_array_equal(full[2], at[2])
+        assert not np.allclose(full[1], sp[1])  # AUC sums differ
+        assert not np.allclose(full[1], at[1])
+        with pytest.raises(ValueError):
+            rollout_eval_arrays(pipeline, variables, frames, gaze, fixsac,
+                                score_key="nope")
+
+
 class TestRolloutSharded:
     def test_mesh_sharded_matches_single_device(self, rollout_setup):
         """Rollout eval sharded over the 8-device virtual mesh must agree
