@@ -127,6 +127,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "cycles them in a fixed color order only the AT "
                         "transition LSTM can learn (the non-vacuous "
                         "SP-vs-full ablation corpus; docs/STATUS.md)")
+    p.add_argument("--synthetic_videos", type=int, default=1, metavar="V",
+                   help="number of distinct synthetic training videos "
+                        "(seeds 0..V-1): blob positions/backgrounds vary "
+                        "per video while the task structure is shared, "
+                        "so K>1 runs can't memorize one layout; eval "
+                        "always uses held-out seeds 1000+")
     p.add_argument("--precomputed_flow", choices=["auto", "on", "off"],
                    default="auto",
                    help="consume dense_flow JPEGs from <root>/flows/ for "
@@ -319,8 +325,13 @@ def _clip_batches(args, cfg: PipelineConfig, clip_len: int) -> Iterator[Dict]:
         )
     from gaze_tpu.data.synthetic import clip_iterator
 
-    spec = _synth_spec(args, cfg, seed=0)
-    return clip_iterator(spec, args.batch_size, clip_len, args.steps_per_epoch)
+    nv = getattr(args, "synthetic_videos", 1)
+    base = 2 if nv > 1 else 0  # keep seeds 0/1/1000+ disjoint (see _batches)
+    spec = _synth_spec(args, cfg, seed=base)
+    return clip_iterator(
+        spec, args.batch_size, clip_len, args.steps_per_epoch,
+        seed=base, num_videos=nv,
+    )
 
 
 def _batches(args, cfg: PipelineConfig, train: bool) -> Iterator[Dict]:
@@ -341,8 +352,16 @@ def _batches(args, cfg: PipelineConfig, train: bool) -> Iterator[Dict]:
             shuffle=train,
             use_precomputed_flow=_flow_mode(args),
         )
-    spec = _synth_spec(args, cfg, seed=0 if train else 1)
-    return batch_iterator(spec, args.batch_size, args.steps_per_epoch, seed=0 if train else 1)
+    # Validation (train=False) stays a single held-out sequence (seed 1);
+    # training honors --synthetic_videos for layout diversity. Multi-video
+    # training starts at seed 2 so seeds 0/1 (single-video train / val)
+    # and 1000+ (rollout eval) stay disjoint from it.
+    nv = getattr(args, "synthetic_videos", 1) if train else 1
+    base = (2 if nv > 1 else 0) if train else 1
+    spec = _synth_spec(args, cfg, seed=base)
+    return batch_iterator(
+        spec, args.batch_size, args.steps_per_epoch, seed=base, num_videos=nv
+    )
 
 
 def run_train_sp(args, cfg, pipeline, mesh) -> Dict:
@@ -424,22 +443,26 @@ def _extract_video_weights(args, cfg, pipeline, sp_vars) -> List[np.ndarray]:
                     fixation_onset_weights(np.concatenate(ws), np.concatenate(fx))
                 )
     else:
-        spec = SyntheticSpec(
-            num_frames=max(64, args.batch_size * 4),
-            height=cfg.image.height, width=cfg.image.width,
-        )
-        frames, gaze, fixsac = generate_sequence(spec)
-        ws = []
-        for s in range(1, len(frames), args.batch_size):
-            idx = np.arange(s, min(s + args.batch_size, len(frames)))
-            batch = {
-                "prev": frames[idx - 1], "cur": frames[idx],
-                "gaze": gaze[idx], "fixsac": fixsac[idx],
-            }
-            ws.append(np.asarray(extract(sp_vars, batch)))
-        video_w.append(
-            fixation_onset_weights(np.concatenate(ws), fixsac[1:])
-        )
+        # Same corpus/seeds the SP stage trained on (honoring
+        # --synthetic_blobs / --synthetic_videos — the reference extracts
+        # AT features from its own training videos, SURVEY §3.2).
+        nv = getattr(args, "synthetic_videos", 1)
+        base = 2 if nv > 1 else 0
+        for v in range(nv):
+            frames, gaze, fixsac = generate_sequence(
+                _synth_spec(args, cfg, seed=base + v)
+            )
+            ws = []
+            for s in range(1, len(frames), args.batch_size):
+                idx = np.arange(s, min(s + args.batch_size, len(frames)))
+                batch = {
+                    "prev": frames[idx - 1], "cur": frames[idx],
+                    "gaze": gaze[idx], "fixsac": fixsac[idx],
+                }
+                ws.append(np.asarray(extract(sp_vars, batch)))
+            video_w.append(
+                fixation_onset_weights(np.concatenate(ws), fixsac[1:])
+            )
     return video_w
 
 

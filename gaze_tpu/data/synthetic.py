@@ -235,48 +235,91 @@ def clip_iterator(
     clip_len: int,
     num_batches: int,
     seed: int = 0,
+    num_videos: int = 1,
 ) -> Iterator[dict]:
     """Yield contiguous-clip batches for rollout-mode LF training:
     frames (B, clip_len+1, H, W, 3) — index 0 seeds the flow pair —
-    with per-frame gaze/fixsac/valid aligned to frames[1:]'s labels."""
-    frames, gaze, fixsac = generate_sequence(dataclasses.replace(spec, seed=seed))
-    T = frames.shape[0]
+    with per-frame gaze/fixsac/valid aligned to frames[1:]'s labels.
+
+    ``num_videos > 1`` draws clips uniformly across that many sequences
+    (seeds ``seed .. seed+num_videos-1``) — per-video blob positions and
+    backgrounds differ while the task structure (palette order) is
+    shared, so a model cannot memorize one layout. ``num_videos == 1``
+    keeps the original single-sequence sampling bit-exactly."""
+    videos = [
+        generate_sequence(dataclasses.replace(spec, seed=seed + v))
+        for v in range(num_videos)
+    ]
+    T = videos[0][0].shape[0]
     if T < clip_len + 1:
         raise ValueError(f"need >= {clip_len + 1} frames, have {T}")
     rng = np.random.default_rng(seed + 1)
     for _ in range(num_batches):
         starts = rng.integers(0, T - clip_len, size=batch_size)
         idx = starts[:, None] + np.arange(clip_len + 1)[None, :]
+        if num_videos == 1:
+            frames, gaze, fixsac = videos[0]
+            yield {
+                "frames": frames[idx],
+                "gaze": gaze[idx],
+                "fixsac": fixsac[idx],
+                "valid": np.ones((batch_size, clip_len + 1), np.float32),
+            }
+            continue
+        vid = rng.integers(0, num_videos, size=batch_size)
         yield {
-            "frames": frames[idx],
-            "gaze": gaze[idx],
-            "fixsac": fixsac[idx],
+            "frames": np.stack([videos[v][0][idx[i]] for i, v in enumerate(vid)]),
+            "gaze": np.stack([videos[v][1][idx[i]] for i, v in enumerate(vid)]),
+            "fixsac": np.stack([videos[v][2][idx[i]] for i, v in enumerate(vid)]),
             "valid": np.ones((batch_size, clip_len + 1), np.float32),
         }
 
 
 def batch_iterator(
-    spec: SyntheticSpec, batch_size: int, num_batches: int, seed: int = 0
+    spec: SyntheticSpec,
+    batch_size: int,
+    num_batches: int,
+    seed: int = 0,
+    num_videos: int = 1,
 ) -> Iterator[dict]:
     """Yield SP-style training batches of (rgb_pair, gaze, fixsac).
 
     Each element pairs consecutive frames (for on-device TV-L1) with the
     current frame's gaze point. Mirrors the reference's STdatas pairing
     of (RGB, flow, GT-heatmap) [M], with the flow computed on device.
+
+    ``num_videos > 1`` samples frames uniformly across that many
+    sequences (seeds ``seed .. seed+num_videos-1``); ``num_videos == 1``
+    keeps the original single-sequence sampling bit-exactly.
     """
-    frames, gaze, fixsac = generate_sequence(
-        dataclasses.replace(spec, seed=seed)
-    )
-    T = frames.shape[0]
+    videos = [
+        generate_sequence(dataclasses.replace(spec, seed=seed + v))
+        for v in range(num_videos)
+    ]
+    T = videos[0][0].shape[0]
     rng = np.random.default_rng(seed + 1)
     for _ in range(num_batches):
         idx = rng.integers(1, T, size=batch_size)
+        if num_videos == 1:
+            frames, gaze, fixsac = videos[0]
+            yield {
+                "prev": frames[idx - 1],
+                "cur": frames[idx],
+                "gaze": gaze[idx],
+                "fixsac": fixsac[idx],
+                # Synthetic gaze is always tracked; key kept so jit
+                # signatures match the GTEA loader's (which masks
+                # untracked frames).
+                "valid": np.ones((batch_size,), np.float32),
+            }
+            continue
+        vid = rng.integers(0, num_videos, size=batch_size)
         yield {
-            "prev": frames[idx - 1],
-            "cur": frames[idx],
-            "gaze": gaze[idx],
-            "fixsac": fixsac[idx],
-            # Synthetic gaze is always tracked; key kept so jit signatures
-            # match the GTEA loader's (which masks untracked frames).
+            "prev": np.stack([videos[v][0][i - 1] for v, i in zip(vid, idx)]),
+            "cur": np.stack([videos[v][0][i] for v, i in zip(vid, idx)]),
+            "gaze": np.stack([videos[v][1][i] for v, i in zip(vid, idx)]),
+            "fixsac": np.asarray(
+                [videos[v][2][i] for v, i in zip(vid, idx)], np.float32
+            ),
             "valid": np.ones((batch_size,), np.float32),
         }

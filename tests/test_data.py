@@ -1,6 +1,7 @@
 """Data-layer tests: synthetic dataset invariants, GTEA manifest over a
 temp fake dataset layout, AT sequence building, device prefetch."""
 
+import dataclasses
 import os
 
 import numpy as np
@@ -57,6 +58,62 @@ class TestSynthetic:
             assert b["cur"].shape == (4, 32, 32, 3)
             assert b["gaze"].shape == (4, 2)
             assert b["fixsac"].shape == (4,)
+
+    def test_batch_iterator_single_video_path_unchanged(self):
+        """num_videos=1 must reproduce the original sampling bit-exactly
+        (jit signatures and regression baselines depend on it)."""
+        spec = SyntheticSpec(num_frames=16, height=32, width=32)
+        a = list(batch_iterator(spec, batch_size=4, num_batches=2, seed=7))
+        b = list(
+            batch_iterator(spec, batch_size=4, num_batches=2, seed=7,
+                           num_videos=1)
+        )
+        for ba, bb in zip(a, b):
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k])
+
+    def test_batch_iterator_multi_video_mixes_sequences(self):
+        """num_videos>1 draws from several distinct sequences: with
+        different backgrounds per seed, identical frame indices must not
+        all come from one video."""
+        spec = SyntheticSpec(num_frames=16, height=32, width=32)
+        videos = [
+            generate_sequence(
+                dataclasses.replace(spec, seed=7 + v)
+            )[0]
+            for v in range(3)
+        ]
+        batches = list(
+            batch_iterator(spec, batch_size=16, num_batches=2, seed=7,
+                           num_videos=3)
+        )
+        seen_videos = set()
+        for b in batches:
+            assert b["cur"].shape == (16, 32, 32, 3)
+            for i in range(16):
+                for v in range(3):
+                    if any(
+                        np.array_equal(b["cur"][i], videos[v][t])
+                        for t in range(1, 16)
+                    ):
+                        seen_videos.add(v)
+        assert len(seen_videos) >= 2
+
+    def test_clip_iterator_multi_video(self):
+        from gaze_tpu.data.synthetic import clip_iterator
+
+        spec = SyntheticSpec(num_frames=16, height=32, width=32)
+        # Single-video path unchanged:
+        a = list(clip_iterator(spec, 4, 3, 2, seed=7))
+        b = list(clip_iterator(spec, 4, 3, 2, seed=7, num_videos=1))
+        for ba, bb in zip(a, b):
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k])
+        # Multi-video: shape contract holds; clips stay contiguous
+        # within one source video (gaze continuity under drift bounds).
+        for batch in clip_iterator(spec, 4, 3, 2, seed=7, num_videos=3):
+            assert batch["frames"].shape == (4, 4, 32, 32, 3)
+            assert batch["gaze"].shape == (4, 4, 2)
 
 
 class TestTaskCycleCorpus:
