@@ -86,6 +86,12 @@ def main() -> None:
                         "(PTQ calibrated on the bench streams; "
                         "models/quant.py) — int8 MXU serving path. "
                         "infer/serve modes only; train ignores it")
+    p.add_argument("--decoder", choices=["deconv", "pixelshuffle", "halfres"],
+                   default=None,
+                   help="SP decoder tail: canonical ConvTranspose or the "
+                        "exact polyphase re-formulation "
+                        "(models/decode_fast.py, 4x fewer nominal MACs). "
+                        "Inference surfaces only; parity keeps deconv")
     p.add_argument("--mode", choices=["infer", "train", "serve"], default="infer",
                    help="train: SP training-step throughput; serve: "
                         "end-to-end StreamServer tick loop (H2D + step + "
@@ -99,12 +105,14 @@ def main() -> None:
         # the trained checkpoints (AAE 1.534 vs 1.591, round-3 table in
         # docs/STATUS.md) — outliers no longer stretch the int8 grid.
         "turbo": dict(dtype="bfloat16", flow_scale=0.5, tvl1_warps=3,
-                      tvl1_iters=5, quant=True, quant_percentile=99.9),
+                      tvl1_iters=5, quant=True, quant_percentile=99.9,
+                      decoder="deconv"),
         "production": dict(dtype="bfloat16", flow_scale=0.5, tvl1_warps=None,
                            tvl1_iters=None, quant=False,
-                           quant_percentile=None),
+                           quant_percentile=None, decoder="deconv"),
         "parity": dict(dtype="float32", flow_scale=1.0, tvl1_warps=None,
-                       tvl1_iters=None, quant=False, quant_percentile=None),
+                       tvl1_iters=None, quant=False, quant_percentile=None,
+                       decoder="deconv"),
     }
     # Default preset: turbo for infer/serve, production for train (quant
     # and the reduced-effort solver are SERVING knobs). An EXPLICIT
@@ -133,6 +141,10 @@ def main() -> None:
     elif args.quant_percentile <= 0:
         args.quant_percentile = None  # explicit max-calibration
     args.quant = preset["quant"] if args.quant is None else args.quant == "on"
+    if args.decoder is None:
+        # The polyphase tail is exact but inference-only (BN folded on
+        # running stats) — the train bench keeps the canonical module.
+        args.decoder = "deconv" if args.mode == "train" else preset["decoder"]
 
     import jax
 
@@ -162,7 +174,7 @@ def main() -> None:
         tvl1=dataclasses.replace(cfg.tvl1, **tvl1_over),
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    pipeline = GazePipeline(cfg, dtype=dtype)
+    pipeline = GazePipeline(cfg, dtype=dtype, decoder_impl=args.decoder)
 
     if args.mode == "train":
         from gaze_tpu.data.synthetic import SyntheticSpec, batch_iterator
@@ -229,7 +241,7 @@ def main() -> None:
             qsp = calibrate_pipeline_sp(pipeline, variables, pairs,
                                         percentile=args.quant_percentile)
         server = StreamServer(cfg, variables, max_streams=B, dtype=dtype,
-                              quant_sp=qsp)
+                              quant_sp=qsp, decoder_impl=args.decoder)
         for s in range(B):
             server.attach(s)
         ticks = [

@@ -160,6 +160,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(self-tracking mode — the LSTM then "
                         "anticipates the CURRENT fixation; see the "
                         "task-cycle ablation in docs/STATUS.md)")
+    p.add_argument("--decoder", choices=["deconv", "pixelshuffle", "halfres"],
+                   default="deconv",
+                   help="SP decoder tail on inference surfaces "
+                        "(eval/serve/infer): canonical ConvTranspose or "
+                        "the exact polyphase serving form "
+                        "(models/decode_fast.py — same trained params, "
+                        "4x fewer nominal MACs, BN folded on running "
+                        "stats). Training always uses deconv")
     p.add_argument("--at_stateless", action="store_true",
                    help="ablation: train AT on independent zero-carry "
                         "windows instead of the default stateful TBPTT "
@@ -815,7 +823,7 @@ def run_infer(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> str:
     server = StreamServer(
         cfg, variables, max_streams=1, dtype=pipeline.dtype,
         keep_heatmaps=want_maps, quant_sp=pipeline.quant_sp,
-        at_pool=pipeline.at_pool,
+        at_pool=pipeline.at_pool, decoder_impl=pipeline.decoder_impl,
     )
     server.attach(0)
 
@@ -868,6 +876,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         cfg,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         at_pool=getattr(args, "at_pool", "sp_argmax"),
+        decoder_impl=getattr(args, "decoder", "deconv"),
     )
     # DP mesh sized so the batch divides across it: the largest divisor
     # of batch_size that fits the available (or requested) devices.

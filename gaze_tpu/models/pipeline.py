@@ -87,10 +87,25 @@ class GazePipeline:
     #                  — the lock-on mode the task-cycle ablation
     #                  measures (docs/STATUS.md).
     at_pool: str = "sp_argmax"
+    # SP decoder-tail implementation for INFERENCE surfaces:
+    #   "deconv"      — canonical ConvTranspose tail (parity path; the
+    #                   only choice that supports train-mode BN);
+    #   "pixelshuffle" — exact polyphase re-formulation
+    #                   (models/decode_fast.py): same trained params,
+    #                   4x fewer nominal MACs, BN folded (running
+    #                   stats). Measured SLOWER on v5e (bandwidth-bound
+    #                   tail) — kept as the exactness-tested alternative;
+    #   "halfres"     — canonical blocks, but only the exact even-sample
+    #                   subgrid of the final block; out_conv + sigmoid at
+    #                   half resolution, 1-channel interleave back up.
+    #                   Accuracy knob of the half-grid-flow class.
+    decoder_impl: str = "deconv"
 
     def __post_init__(self):
         if self.at_pool not in ("sp_argmax", "prediction"):
             raise ValueError(f"unknown at_pool {self.at_pool!r}")
+        if self.decoder_impl not in ("deconv", "pixelshuffle", "halfres"):
+            raise ValueError(f"unknown decoder_impl {self.decoder_impl!r}")
         self.sp = SPNet(self.config.sp, dtype=self.dtype)
         self.lstm = LSTMNet(self.config.at, dtype=self.dtype)
         self.lf = LateFusion(self.config.lf, dtype=self.dtype)
@@ -185,20 +200,44 @@ class GazePipeline:
         map extraction, goldens) so the int8 path cannot silently
         diverge between eval and extraction surfaces.
         """
+        from gaze_tpu.models.sp import SPNet
+
         if self.quant_sp is not None:
             from gaze_tpu.models.quant import quant_vgg_forward
-            from gaze_tpu.models.sp import SPNet
 
             feat = quant_vgg_forward(self.quant_sp.spatial, rgb_in)
             f_temporal = quant_vgg_forward(self.quant_sp.temporal, flow_in)
+            if self.quant_sp.tail is not None:
+                from gaze_tpu.models.quant_tail import quant_tail_forward
+
+                sal = quant_tail_forward(self.quant_sp.tail, feat, f_temporal)
+                return sal, feat
+        elif self.decoder_impl != "deconv":
+            feat, f_temporal = self.sp.apply(
+                sp_variables, rgb_in, flow_in, method=SPNet.encode
+            )
+            feat = feat.astype(jnp.float32)
+        else:
+            return self.sp.apply(sp_variables, rgb_in, flow_in)
+        if self.decoder_impl in ("pixelshuffle", "halfres"):
+            from gaze_tpu.models import decode_fast
+
+            fn = (decode_fast.fast_fuse_decode
+                  if self.decoder_impl == "pixelshuffle"
+                  else decode_fast.halfres_fuse_decode)
+            sal = fn(
+                sp_variables, self.config.sp,
+                feat.astype(self.dtype), f_temporal.astype(self.dtype),
+                dtype=self.dtype,
+            )
+        else:
             sal = self.sp.apply(
                 sp_variables,
                 feat.astype(self.dtype),
                 f_temporal.astype(self.dtype),
                 method=SPNet.fuse_decode,
             )
-            return sal, feat
-        return self.sp.apply(sp_variables, rgb_in, flow_in)
+        return sal, feat
 
     # ---------------------------------------------------------- step ----
     def step(

@@ -234,10 +234,13 @@ def quant_vgg_forward(q: QuantVGG, x: jnp.ndarray) -> jnp.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class QuantSP:
-    """Quantized two-stream bundle (spatial + temporal encoders)."""
+    """Quantized two-stream bundle (spatial + temporal encoders), plus
+    an optional int8 fuse/decoder tail (models/quant_tail.py) — when
+    set, the ENTIRE saliency head runs int8-resident."""
 
     spatial: QuantVGG
     temporal: QuantVGG
+    tail: Any = None  # Optional[quant_tail.QuantTail]
 
 
 def calibrate_sp(
@@ -246,24 +249,50 @@ def calibrate_sp(
     flow_batches: List[np.ndarray],
     margin: float = 1.0,
     percentile: Optional[float] = None,
+    sp_variables: Optional[Dict[str, Any]] = None,
+    tail_cfg: Any = None,
 ) -> QuantSP:
     """Calibrate + quantize both SP encoder streams from representative
-    (already preprocessed/normalized) rgb and flow inputs."""
-    return QuantSP(
-        spatial=build_quant_vgg(
-            sp_params["spatial"],
-            calibrate_vgg(sp_params["spatial"], rgb_batches, margin, percentile),
-        ),
-        temporal=build_quant_vgg(
-            sp_params["temporal"],
-            calibrate_vgg(sp_params["temporal"], flow_batches, margin, percentile),
-        ),
+    (already preprocessed/normalized) rgb and flow inputs.
+
+    With ``sp_variables`` + ``tail_cfg`` (an SPConfig), also calibrates
+    the int8 fuse/decoder tail (models/quant_tail.py) — on the features
+    the QUANTIZED streams emit for the same batches, i.e. exactly the
+    tail's serving input distribution."""
+    spatial = build_quant_vgg(
+        sp_params["spatial"],
+        calibrate_vgg(sp_params["spatial"], rgb_batches, margin, percentile),
     )
+    temporal = build_quant_vgg(
+        sp_params["temporal"],
+        calibrate_vgg(sp_params["temporal"], flow_batches, margin, percentile),
+    )
+    tail = None
+    if tail_cfg is not None:
+        from gaze_tpu.models.quant_tail import calibrate_tail
+
+        if sp_variables is None:
+            raise ValueError("tail calibration needs the full sp_variables "
+                             "(params + batch_stats for the BN fold)")
+        feat = jax.jit(
+            lambda r, f: jnp.concatenate(
+                [quant_vgg_forward(spatial, r), quant_vgg_forward(temporal, f)],
+                axis=-1,
+            )
+        )
+        feature_batches = [
+            np.asarray(feat(jnp.asarray(r), jnp.asarray(f)), np.float32)
+            for r, f in zip(rgb_batches, flow_batches)
+        ]
+        tail = calibrate_tail(
+            sp_variables, tail_cfg, feature_batches, margin, percentile
+        )
+    return QuantSP(spatial=spatial, temporal=temporal, tail=tail)
 
 
 def calibrate_pipeline_sp(
     pipeline, variables: Dict[str, Any], frame_pairs, margin: float = 1.0,
-    percentile: Optional[float] = None,
+    percentile: Optional[float] = None, quant_tail: bool = False,
 ) -> QuantSP:
     """Calibrate from RAW uint8 frame pairs via the pipeline's own
     preprocessing (resize/normalize + TV-L1 — or the precomputed flow
@@ -291,7 +320,9 @@ def calibrate_pipeline_sp(
         rgb_b.append(np.asarray(r, np.float32))
         flow_b.append(np.asarray(f, np.float32))
     return calibrate_sp(
-        variables["sp"]["params"], rgb_b, flow_b, margin, percentile
+        variables["sp"]["params"], rgb_b, flow_b, margin, percentile,
+        sp_variables=variables["sp"] if quant_tail else None,
+        tail_cfg=pipeline.config.sp if quant_tail else None,
     )
 
 
@@ -301,5 +332,5 @@ jax.tree_util.register_dataclass(
     meta_fields=[],
 )
 jax.tree_util.register_dataclass(
-    QuantSP, data_fields=["spatial", "temporal"], meta_fields=[]
+    QuantSP, data_fields=["spatial", "temporal", "tail"], meta_fields=[]
 )

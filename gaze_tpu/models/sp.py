@@ -90,10 +90,18 @@ class SPNet(nn.Module):
     def __call__(
         self, rgb: jnp.ndarray, flow: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        f_spatial = self.spatial(rgb)
-        f_temporal = self.temporal(flow)
+        f_spatial, f_temporal = self.encode(rgb, flow)
         sal = self.fuse_decode(f_spatial, f_temporal, train=train)
         return sal, f_spatial.astype(jnp.float32)
+
+    def encode(
+        self, rgb: jnp.ndarray, flow: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Both streams' conv5 features — public so serving paths that
+        replace the tail (models/decode_fast.py polyphase decoder) can
+        run the unquantized encoders via
+        ``sp.apply(vars, rgb, flow, method=SPNet.encode)``."""
+        return self.spatial(rgb), self.temporal(flow)
 
     def fuse_decode(
         self, f_spatial: jnp.ndarray, f_temporal: jnp.ndarray, train: bool = False

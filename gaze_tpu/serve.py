@@ -41,6 +41,7 @@ class StreamServer:
         idt_window: int = 3,
         quant_sp=None,
         at_pool: str = "sp_argmax",
+        decoder_impl: str = "deconv",
     ):
         """Args (beyond the obvious):
 
@@ -66,6 +67,9 @@ class StreamServer:
           int8 VGG streams (see GazePipeline.quant_sp).
         at_pool: AT pooling point at fixation onsets — "sp_argmax"
           (default) or "prediction" (self-tracking; see GazePipeline).
+        decoder_impl: SP decoder tail — "deconv" (canonical) or
+          "pixelshuffle" (exact polyphase serving form,
+          models/decode_fast.py).
         """
         if fixation_source == "always":
             import warnings
@@ -81,7 +85,8 @@ class StreamServer:
         if fixation_source not in ("idt", "static"):
             raise ValueError(f"unknown fixation_source {fixation_source!r}")
         self.pipeline = GazePipeline(
-            config, dtype=dtype, quant_sp=quant_sp, at_pool=at_pool
+            config, dtype=dtype, quant_sp=quant_sp, at_pool=at_pool,
+            decoder_impl=decoder_impl,
         )
         self.variables = variables
         self.max_streams = max_streams

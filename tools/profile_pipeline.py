@@ -35,6 +35,10 @@ def main() -> None:
     p.add_argument("--quant", action="store_true",
                    help="profile with int8-quantized SP streams "
                         "(models/quant.py; calibrated on the probe clip)")
+    p.add_argument("--decoder", choices=["deconv", "pixelshuffle", "halfres"],
+                   default="deconv",
+                   help="SP decoder tail implementation "
+                        "(models/decode_fast.py polyphase form)")
     p.add_argument("--no_rtt_correction", action="store_true",
                    help="skip the ~25 ms relay-RTT subtraction — use on "
                         "co-located hardware, where the subtraction "
@@ -74,7 +78,7 @@ def main() -> None:
         tvl1=dataclasses.replace(cfg.tvl1, **tvl1_over),
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    pipeline = GazePipeline(cfg, dtype=dtype)
+    pipeline = GazePipeline(cfg, dtype=dtype, decoder_impl=args.decoder)
     variables = pipeline.init_variables(jax.random.key(0))
     if args.quant:
         from gaze_tpu.models.quant import calibrate_pipeline_sp
@@ -124,19 +128,10 @@ def main() -> None:
     out["preprocess_total_ms"] = ms(device_time(
         lambda a, b: pipeline.preprocess_pair(a, b)[1][..., 0],
         iters=args.iters, args=(prev, cur)))
-    if args.quant:
-        from gaze_tpu.models.quant import quant_vgg_forward
-        from gaze_tpu.models.sp import SPNet
-
-        def _sp_fwd(v, r, fl):
-            fs = quant_vgg_forward(pipeline.quant_sp.spatial, r)
-            ft = quant_vgg_forward(pipeline.quant_sp.temporal, fl)
-            return pipeline.sp.apply(
-                v, fs.astype(dtype), ft.astype(dtype), method=SPNet.fuse_decode
-            )
-    else:
-        def _sp_fwd(v, r, fl):
-            return pipeline.sp.apply(v, r, fl)[0]
+    # Single choke point: pipeline.sp_forward honors both quant_sp and
+    # decoder_impl, so the profile measures exactly the serving math.
+    def _sp_fwd(v, r, fl):
+        return pipeline.sp_forward(v, r, fl)[0]
 
     out["sp_forward_ms"] = ms(device_time(
         _sp_fwd, iters=args.iters, args=(variables["sp"], rgb_in, flow_in)))
