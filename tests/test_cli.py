@@ -58,6 +58,30 @@ class TestCLIStages:
         # fresh invocation restoring all three stages from disk
         run_cli(["--eval", "--save_dir", save_dir] + ARGS_COMMON)
 
+    def test_eval_decoder_impls(self, save_dir, capsys):
+        """--decoder {pixelshuffle,halfres} drive the alternative SP
+        tails through the real rollout eval; halfres (interpolated odd
+        samples) must land near the canonical result on the same
+        checkpoints, pixelshuffle (exact) must match it closely."""
+        run_cli(
+            ["--train_sp", "--train_lstm", "--train_late",
+             "--save_dir", save_dir] + ARGS_COMMON
+        )
+
+        import ast
+
+        def eval_aae(extra):
+            run_cli(["--eval", "--save_dir", save_dir] + extra + ARGS_COMMON)
+            lines = [l for l in capsys.readouterr().out.splitlines()
+                     if l.startswith("{") and "AAE_deg" in l]
+            return ast.literal_eval(lines[-1])["AAE_deg"]
+
+        base = eval_aae([])
+        exact = eval_aae(["--decoder", "pixelshuffle"])
+        half = eval_aae(["--decoder", "halfres"])
+        assert exact == pytest.approx(base, abs=0.15)
+        assert half == pytest.approx(base, abs=2.0)
+
     def test_export_torch(self, save_dir, tmp_path):
         """--export_torch restores all stages from disk and writes a
         torch bundle whose SP weights match the checkpointed params."""
