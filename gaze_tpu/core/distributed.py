@@ -27,15 +27,25 @@ def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    cpu_collectives: Optional[str] = None,
 ) -> None:
     """Initialize multi-host JAX. No-op for single-process runs.
 
     With no arguments, relies on the TPU environment's automatic
     discovery (GCE metadata / megascale coordinator), which is how
     jax.distributed is meant to run on TPU pods.
+
+    ``cpu_collectives`` selects the cross-process collective backend for
+    the CPU platform ("gloo" or "mpi"). On TPU leave it None — XLA emits
+    collectives over ICI/DCN natively. The gloo path is what makes
+    multi-process runs *executable* on plain CPU hosts (and is exercised
+    for real by tests/test_multiprocess.py: two OS processes, one
+    coordinator, a genuine gradient all-reduce per train step).
     """
     if num_processes is not None and num_processes <= 1:
         return
+    if cpu_collectives is not None:
+        jax.config.update("jax_cpu_collectives_implementation", cpu_collectives)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
