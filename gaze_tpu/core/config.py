@@ -167,6 +167,19 @@ class TrainConfig:
     learning_rate: float = 1e-4
     weight_decay: float = 1e-5
     epochs: int = 10
+    # LR schedule: "constant" (the reference's fixed Adam lr [M]),
+    # "cosine" (warmup -> cosine decay over lr_decay_steps), or "step"
+    # (x lr_decay_rate every lr_decay_steps). Warmup applies to all.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    lr_decay_steps: int = 0
+    lr_decay_rate: float = 0.1
+    # Global-norm gradient clipping; 0 = off (the reference never clips).
+    grad_clip_norm: float = 0.0
+    # Gradient accumulation: microbatches per optimizer step, scanned
+    # inside ONE jit step (exact mean-gradient; ~K-fold less backward
+    # memory). 1 = off.
+    grad_accum: int = 1
     # bf16 activations on the throughput path; f32 on the parity path.
     compute_dtype: str = "float32"
     checkpoint_dir: str = "save"

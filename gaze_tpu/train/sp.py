@@ -20,7 +20,13 @@ from gaze_tpu.evaluation.losses import floss
 from gaze_tpu.evaluation.metrics import aae, auc_judd
 from gaze_tpu.models.pipeline import GazePipeline
 from gaze_tpu.ops.heatmap import render_gaussian
-from gaze_tpu.train.common import TrainState, jit_dp_step, make_optimizer, make_state
+from gaze_tpu.train.common import (
+    TrainState,
+    jit_dp_step,
+    make_optimizer,
+    make_state,
+    microbatch_value_and_grad,
+)
 
 
 def create_sp_state(rng: jax.Array, pipeline: GazePipeline) -> TrainState:
@@ -33,17 +39,24 @@ def create_sp_state(rng: jax.Array, pipeline: GazePipeline) -> TrainState:
 
 
 def make_sp_train_step(pipeline: GazePipeline, mesh: Optional[Mesh] = None):
+    """One jit = flow solve + preprocess + GT render + forward + floss +
+    backward + AdamW. With ``cfg.train.grad_accum = K > 1`` the batch is
+    scanned as K microbatches inside the same jit (exact mean gradient,
+    ~K-fold smaller activation/backward memory — preprocessing and TV-L1
+    included, since they run per microbatch); BN running stats take the
+    last microbatch's update, and train-mode BN normalizes per
+    microbatch (standard accumulation semantics)."""
     cfg = pipeline.config
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> Tuple[TrainState, Dict]:
-        rgb_in, flow_in = pipeline.preprocess_pair(
-            batch["prev"], batch["cur"], batch.get("flow_img")
-        )
-        target = render_gaussian(
-            batch["gaze"], cfg.image.height, cfg.image.width, cfg.image.heatmap_sigma
-        )
-
-        def loss_fn(params):
+        def loss_fn(params, mb):
+            rgb_in, flow_in = pipeline.preprocess_pair(
+                mb["prev"], mb["cur"], mb.get("flow_img")
+            )
+            target = render_gaussian(
+                mb["gaze"], cfg.image.height, cfg.image.width,
+                cfg.image.heatmap_sigma,
+            )
             (sal, _), updates = pipeline.sp.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 rgb_in,
@@ -54,11 +67,13 @@ def make_sp_train_step(pipeline: GazePipeline, mesh: Optional[Mesh] = None):
             # Untracked-gaze frames carry no supervision signal (their
             # rendered target is garbage) — masked out of the loss.
             return (
-                floss(sal, target, cfg.loss, sample_weight=batch.get("valid")),
+                floss(sal, target, cfg.loss, sample_weight=mb.get("valid")),
                 updates["batch_stats"],
             )
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, new_bs), grads = microbatch_value_and_grad(
+            loss_fn, state.params, batch, cfg.train.grad_accum
+        )
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
         return new_state, {"loss": loss}
 
