@@ -79,6 +79,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__, prog="gaze_tpu")
     # stage toggles (reference flag names [M])
     p.add_argument("--train_sp", action="store_true", help="train the SP two-stream net")
+    p.add_argument("--train_qat", action="store_true",
+                   help="quantization-aware fine-tune of the SP streams "
+                        "through the deployed int8 grids (after/instead "
+                        "of --train_sp); saves to save_dir/sp_qat with "
+                        "the activation scales it trained against — "
+                        "--quant_sp then uses those scales verbatim")
     p.add_argument("--train_lstm", action="store_true", help="train the AT LSTM")
     p.add_argument("--train_late", action="store_true", help="train the LF head")
     p.add_argument("--extract_late", action="store_true",
@@ -142,6 +148,23 @@ def build_argparser() -> argparse.ArgumentParser:
     # optimization
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_schedule", choices=["constant", "cosine", "step"],
+                   default="constant",
+                   help="LR policy: constant (reference behavior), "
+                        "warmup+cosine decay, or staircase step decay")
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear LR warmup steps (any schedule)")
+    p.add_argument("--lr_decay_steps", type=int, default=0,
+                   help="cosine: total decay horizon (0 = epochs * "
+                        "steps_per_epoch); step: decay interval")
+    p.add_argument("--lr_decay_rate", type=float, default=0.1,
+                   help="step schedule decay factor")
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="global-norm gradient clipping (0 = off)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatches per optimizer step, scanned inside "
+                        "one jit (exact mean gradient, ~K-fold less "
+                        "backward memory); batch_size must divide by it")
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--steps_per_epoch", type=int, default=100,
                    help="synthetic-data steps per epoch")
@@ -288,6 +311,18 @@ def make_config(args) -> PipelineConfig:
             batch_size=args.batch_size,
             learning_rate=args.lr,
             epochs=args.epochs,
+            lr_schedule=getattr(args, "lr_schedule", "constant"),
+            warmup_steps=getattr(args, "warmup_steps", 0),
+            # Cosine with no explicit horizon decays over the whole run.
+            lr_decay_steps=(
+                getattr(args, "lr_decay_steps", 0)
+                or (args.epochs * getattr(args, "steps_per_epoch", 100)
+                    if getattr(args, "lr_schedule", "constant") == "cosine"
+                    else 0)
+            ),
+            lr_decay_rate=getattr(args, "lr_decay_rate", 0.1),
+            grad_clip_norm=getattr(args, "grad_clip", 0.0),
+            grad_accum=getattr(args, "grad_accum", 1),
         ),
     )
 
@@ -417,6 +452,79 @@ def run_train_sp(args, cfg, pipeline, mesh) -> Dict:
             if args.eval_every and step_no % args.eval_every == 0:
                 validate_and_track(step_no)
     validate_and_track(int(state.step))  # stage-end val: best always exists
+    save_checkpoint(ckpt_dir, int(state.step), jax.device_get(state))
+    best = restore_best_or_latest(ckpt_dir, state)
+    return {"params": best.params, "batch_stats": best.batch_stats}
+
+
+def _calibration_pairs(args, cfg) -> List[tuple]:
+    """--quant_calib_batches training frame pairs for activation-scale
+    calibration (shared by PTQ eval and QAT training)."""
+    pairs = []
+    for batch in _batches(args, cfg, train=True):
+        pairs.append((batch["prev"], batch["cur"], batch.get("flow_img")))
+        if len(pairs) >= args.quant_calib_batches:
+            break
+    return pairs
+
+
+def run_train_qat(args, cfg, pipeline, mesh, sp_vars) -> Dict:
+    """QAT stage: fine-tune the SP streams through the deployment int8
+    grids (models/qat.py), starting from the trained/restored SP
+    variables. Calibrates the activation scales ONCE up front (the grids
+    the weights adapt to must be the grids deployment uses), persists
+    them next to the checkpoints, and tracks best-val like SP."""
+    from gaze_tpu.models.qat import save_act_scales
+    from gaze_tpu.train.qat import (
+        calibrate_qat_scales,
+        make_qat_eval_step,
+        make_qat_train_step,
+    )
+
+    state = create_sp_state(jax.random.key(cfg.train.seed), pipeline)
+    state = state.replace(
+        params=sp_vars["params"], batch_stats=sp_vars["batch_stats"]
+    )
+    ckpt_dir = os.path.join(args.save_dir, "sp_qat")
+    state = restore_checkpoint(ckpt_dir, state)  # resume a crashed QAT run
+
+    pairs = _calibration_pairs(args, cfg)
+    if not pairs:
+        raise ValueError("--train_qat: no training batches available for "
+                         "activation-scale calibration")
+    scales = calibrate_qat_scales(
+        pipeline, {"params": state.params}, pairs,
+        percentile=args.quant_percentile,
+    )
+    save_act_scales(ckpt_dir, scales)
+
+    step_fn = make_qat_train_step(pipeline, scales, mesh)
+    eval_fn = make_qat_eval_step(pipeline, scales)
+    logger = StepLogger("qat", every=args.log_every, tboard_dir=args.tboard)
+
+    def validate_and_track(step_no: int) -> None:
+        vb = next(iter(_batches(args, cfg, train=False)))
+        m = eval_fn(state, vb)
+        keep = np.asarray(vb["valid"]) > 0 if "valid" in vb else slice(None)
+        val_aae = float(np.mean(np.asarray(m["aae"])[keep]))
+        logger.log(
+            step_no,
+            {"val_aae": val_aae,
+             "val_auc": float(np.mean(np.asarray(m["auc"])[keep]))},
+            force=True,
+        )
+        save_best_checkpoint(ckpt_dir, step_no, jax.device_get(state), val_aae)
+
+    for epoch in range(args.epochs):
+        for batch in device_prefetch(_batches(args, cfg, train=True), mesh):
+            state, metrics = step_fn(state, batch)
+            step_no = int(state.step)
+            logger.log(step_no, metrics)
+            if args.ckpt_every and step_no % args.ckpt_every == 0:
+                save_checkpoint(ckpt_dir, step_no, jax.device_get(state), block=False)
+            if args.eval_every and step_no % args.eval_every == 0:
+                validate_and_track(step_no)
+    validate_and_track(int(state.step))
     save_checkpoint(ckpt_dir, int(state.step), jax.device_get(state))
     best = restore_best_or_latest(ckpt_dir, state)
     return {"params": best.params, "batch_stats": best.batch_stats}
@@ -890,14 +998,26 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     if args.train_sp:
         sp_vars = run_train_sp(args, cfg, pipeline, mesh)
-    if (args.train_lstm or args.train_late or args.eval or args.extract_late
-            or args.export_torch or args.infer):
+    if (args.train_qat or args.train_lstm or args.train_late or args.eval
+            or args.extract_late or args.export_torch or args.infer):
         if sp_vars is None:
             state = create_sp_state(rng, pipeline)
             state = restore_best_or_latest(
                 args.sp_ckpt or os.path.join(args.save_dir, "sp"), state
             )
             sp_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    # QAT scales travel with the checkpoint that trained against them:
+    # either this invocation's QAT run, or an --sp_ckpt pointing at one.
+    qat_scales = None
+    if args.train_qat:
+        sp_vars = run_train_qat(args, cfg, pipeline, mesh, sp_vars)
+        from gaze_tpu.models.qat import load_act_scales
+
+        qat_scales = load_act_scales(os.path.join(args.save_dir, "sp_qat"))
+    elif args.sp_ckpt:
+        from gaze_tpu.models.qat import load_act_scales
+
+        qat_scales = load_act_scales(args.sp_ckpt)
     if args.train_lstm:
         at_vars = run_train_lstm(args, cfg, pipeline, mesh, sp_vars)
     if (args.train_late or args.eval or args.extract_late or args.export_torch
@@ -919,25 +1039,35 @@ def main(argv: Optional[List[str]] = None) -> None:
         # stream's scales match the distribution it will serve.
         from gaze_tpu.models.quant import calibrate_pipeline_sp
 
-        pairs = []
-        for batch in _batches(args, cfg, train=True):
-            pairs.append(
-                (batch["prev"], batch["cur"], batch.get("flow_img"))
+        if qat_scales is not None:
+            # QAT checkpoint: quantize with the exact grids the weights
+            # were fine-tuned against — recalibrating would shift the
+            # scales and undo the adaptation.
+            from gaze_tpu.models.quant import QuantSP, build_quant_vgg
+
+            qsp = QuantSP(
+                spatial=build_quant_vgg(
+                    sp_vars["params"]["spatial"], qat_scales["spatial"]
+                ),
+                temporal=build_quant_vgg(
+                    sp_vars["params"]["temporal"], qat_scales["temporal"]
+                ),
             )
-            if len(pairs) >= args.quant_calib_batches:
-                break
-        if not pairs:
-            raise ValueError(
-                "--quant_sp: no training batches available for PTQ "
-                "calibration (empty training split?)"
+            print({"quant_sp": "int8", "scales": "qat"})
+        else:
+            pairs = _calibration_pairs(args, cfg)
+            if not pairs:
+                raise ValueError(
+                    "--quant_sp: no training batches available for PTQ "
+                    "calibration (empty training split?)"
+                )
+            qsp = calibrate_pipeline_sp(
+                pipeline, {"sp": sp_vars}, pairs,
+                percentile=args.quant_percentile,
             )
-        qsp = calibrate_pipeline_sp(
-            pipeline, {"sp": sp_vars}, pairs,
-            percentile=args.quant_percentile,
-        )
+            print({"quant_sp": "int8", "calibration_batches": len(pairs),
+                   "percentile": args.quant_percentile})
         eval_pipeline = dataclasses.replace(pipeline, quant_sp=qsp)
-        print({"quant_sp": "int8", "calibration_batches": len(pairs),
-               "percentile": args.quant_percentile})
     if args.extract_late:
         run_extract_late(args, cfg, eval_pipeline, sp_vars, at_vars)
     if args.train_late:
