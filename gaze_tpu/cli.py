@@ -407,26 +407,17 @@ def _batches(args, cfg: PipelineConfig, train: bool) -> Iterator[Dict]:
     )
 
 
-def run_train_sp(args, cfg, pipeline, mesh) -> Dict:
-    state = create_sp_state(jax.random.key(cfg.train.seed), pipeline)
-    if args.pretrained_vgg:
-        variables = init_sp_from_torch_vgg16(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            args.pretrained_vgg,
-            cfg.sp.flow_channels,
-        )
-        state = state.replace(
-            params=variables["params"], batch_stats=variables["batch_stats"]
-        )
-    ckpt_dir = args.sp_ckpt or os.path.join(args.save_dir, "sp")
-    state = restore_checkpoint(ckpt_dir, state)
-    step_fn = make_sp_train_step(pipeline, mesh)
-    eval_fn = make_sp_eval_step(pipeline)
-    logger = StepLogger("sp", every=args.log_every, tboard_dir=args.tboard)
+def _run_sp_like_stage(args, cfg, mesh, state, ckpt_dir, step_fn, eval_fn,
+                       stage: str) -> Dict:
+    """Shared SP-shaped stage loop (SP training and QAT fine-tuning):
+    prefetched batches -> jit step; periodic ASYNC checkpoints
+    (crash-resilience — the reference loses everything past the last
+    blocking epoch save, SURVEY.md §5); periodic val AAE with
+    best-checkpoint tracking (ref:SP.py "saves best checkpoint" [M] —
+    downstream stages restore best, not latest)."""
+    logger = StepLogger(stage, every=args.log_every, tboard_dir=args.tboard)
 
     def validate_and_track(step_no: int) -> None:
-        """Periodic val + best-checkpoint tracking (ref:SP.py "saves best
-        checkpoint" [M]): downstream stages restore best, not latest."""
         vb = next(iter(_batches(args, cfg, train=False)))
         m = eval_fn(state, vb)
         keep = np.asarray(vb["valid"]) > 0 if "valid" in vb else slice(None)
@@ -444,9 +435,6 @@ def run_train_sp(args, cfg, pipeline, mesh) -> Dict:
             state, metrics = step_fn(state, batch)
             step_no = int(state.step)
             logger.log(step_no, metrics)
-            # Crash-resilience: periodic ASYNC checkpoints — serialization
-            # overlaps training (the reference loses everything past the
-            # last blocking epoch save — SURVEY.md §5).
             if args.ckpt_every and step_no % args.ckpt_every == 0:
                 save_checkpoint(ckpt_dir, step_no, jax.device_get(state), block=False)
             if args.eval_every and step_no % args.eval_every == 0:
@@ -455,6 +443,25 @@ def run_train_sp(args, cfg, pipeline, mesh) -> Dict:
     save_checkpoint(ckpt_dir, int(state.step), jax.device_get(state))
     best = restore_best_or_latest(ckpt_dir, state)
     return {"params": best.params, "batch_stats": best.batch_stats}
+
+
+def run_train_sp(args, cfg, pipeline, mesh) -> Dict:
+    state = create_sp_state(jax.random.key(cfg.train.seed), pipeline)
+    if args.pretrained_vgg:
+        variables = init_sp_from_torch_vgg16(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            args.pretrained_vgg,
+            cfg.sp.flow_channels,
+        )
+        state = state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+    ckpt_dir = args.sp_ckpt or os.path.join(args.save_dir, "sp")
+    state = restore_checkpoint(ckpt_dir, state)
+    return _run_sp_like_stage(
+        args, cfg, mesh, state, ckpt_dir,
+        make_sp_train_step(pipeline, mesh), make_sp_eval_step(pipeline), "sp",
+    )
 
 
 def _calibration_pairs(args, cfg) -> List[tuple]:
@@ -497,37 +504,11 @@ def run_train_qat(args, cfg, pipeline, mesh, sp_vars) -> Dict:
         percentile=args.quant_percentile,
     )
     save_act_scales(ckpt_dir, scales)
-
-    step_fn = make_qat_train_step(pipeline, scales, mesh)
-    eval_fn = make_qat_eval_step(pipeline, scales)
-    logger = StepLogger("qat", every=args.log_every, tboard_dir=args.tboard)
-
-    def validate_and_track(step_no: int) -> None:
-        vb = next(iter(_batches(args, cfg, train=False)))
-        m = eval_fn(state, vb)
-        keep = np.asarray(vb["valid"]) > 0 if "valid" in vb else slice(None)
-        val_aae = float(np.mean(np.asarray(m["aae"])[keep]))
-        logger.log(
-            step_no,
-            {"val_aae": val_aae,
-             "val_auc": float(np.mean(np.asarray(m["auc"])[keep]))},
-            force=True,
-        )
-        save_best_checkpoint(ckpt_dir, step_no, jax.device_get(state), val_aae)
-
-    for epoch in range(args.epochs):
-        for batch in device_prefetch(_batches(args, cfg, train=True), mesh):
-            state, metrics = step_fn(state, batch)
-            step_no = int(state.step)
-            logger.log(step_no, metrics)
-            if args.ckpt_every and step_no % args.ckpt_every == 0:
-                save_checkpoint(ckpt_dir, step_no, jax.device_get(state), block=False)
-            if args.eval_every and step_no % args.eval_every == 0:
-                validate_and_track(step_no)
-    validate_and_track(int(state.step))
-    save_checkpoint(ckpt_dir, int(state.step), jax.device_get(state))
-    best = restore_best_or_latest(ckpt_dir, state)
-    return {"params": best.params, "batch_stats": best.batch_stats}
+    return _run_sp_like_stage(
+        args, cfg, mesh, state, ckpt_dir,
+        make_qat_train_step(pipeline, scales, mesh),
+        make_qat_eval_step(pipeline, scales), "qat",
+    )
 
 
 def _extract_video_weights(args, cfg, pipeline, sp_vars) -> List[np.ndarray]:
