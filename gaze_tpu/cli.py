@@ -161,6 +161,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="step schedule decay factor")
     p.add_argument("--grad_clip", type=float, default=0.0,
                    help="global-norm gradient clipping (0 = off)")
+    p.add_argument("--augment_flip", action="store_true",
+                   help="per-sample horizontal-flip augmentation in the "
+                        "SP/QAT train steps (gaze mirrored; flow solved "
+                        "downstream of the flip; precomputed flow images "
+                        "get their x channel negated exactly)")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="microbatches per optimizer step, scanned inside "
                         "one jit (exact mean gradient, ~K-fold less "
@@ -323,6 +328,7 @@ def make_config(args) -> PipelineConfig:
             lr_decay_rate=getattr(args, "lr_decay_rate", 0.1),
             grad_clip_norm=getattr(args, "grad_clip", 0.0),
             grad_accum=getattr(args, "grad_accum", 1),
+            augment_flip=getattr(args, "augment_flip", False),
         ),
     )
 

@@ -180,6 +180,10 @@ class TrainConfig:
     # inside ONE jit step (exact mean-gradient; ~K-fold less backward
     # memory). 1 = off.
     grad_accum: int = 1
+    # Per-sample horizontal-flip augmentation inside the SP/QAT train
+    # steps (data/augment.py). Off on the parity path — the reference
+    # trains without augmentation [U].
+    augment_flip: bool = False
     # bf16 activations on the throughput path; f32 on the parity path.
     compute_dtype: str = "float32"
     checkpoint_dir: str = "save"

@@ -49,7 +49,16 @@ def make_sp_train_step(pipeline: GazePipeline, mesh: Optional[Mesh] = None):
     cfg = pipeline.config
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> Tuple[TrainState, Dict]:
+        if cfg.train.augment_flip:
+            from gaze_tpu.data.augment import with_flip_mask
+
+            batch = with_flip_mask(batch, cfg.train.seed, state.step)
+
         def loss_fn(params, mb):
+            if cfg.train.augment_flip:
+                from gaze_tpu.data.augment import apply_hflip
+
+                mb = apply_hflip(mb, cfg.image.width)
             rgb_in, flow_in = pipeline.preprocess_pair(
                 mb["prev"], mb["cur"], mb.get("flow_img")
             )
