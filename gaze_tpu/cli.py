@@ -161,6 +161,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="step schedule decay factor")
     p.add_argument("--grad_clip", type=float, default=0.0,
                    help="global-norm gradient clipping (0 = off)")
+    p.add_argument("--lf_padding", choices=["zero", "edge"], default="zero",
+                   help="LF conv border mode: zero (torch-default parity "
+                        "behavior) or edge (replicate — removes the "
+                        "constant-corner argmax artifact zero padding can "
+                        "learn on weak-response data; see LFConfig)")
     p.add_argument("--augment_flip", action="store_true",
                    help="per-sample horizontal-flip augmentation in the "
                         "SP/QAT train steps (gaze mirrored; flow solved "
@@ -311,6 +316,9 @@ def make_config(args) -> PipelineConfig:
         image=dataclasses.replace(base.image, height=ih, width=iw),
         camera=cam,
         tvl1=tvl1,
+        lf=dataclasses.replace(
+            base.lf, padding=getattr(args, "lf_padding", "zero")
+        ),
         train=dataclasses.replace(
             base.train,
             batch_size=args.batch_size,

@@ -119,6 +119,14 @@ class LFConfig:
     """
 
     channels: Tuple[int, ...] = (32, 32, 8)
+    # Border handling of the 3x3 convs. "zero" = torch Conv2d default =
+    # the parity behavior [M]. Zero padding can learn a CONSTANT bright
+    # border pixel (the corner's receptive field is mostly padding, so
+    # its output is input-independent) that hijacks the heatmap argmax
+    # whenever the true response is weak — measured on the task-cycle
+    # corpus (docs/STATUS.md). "edge" = replicate padding: the border
+    # sees extrapolated map values and can't manufacture an artifact.
+    padding: str = "zero"
 
 
 @dataclasses.dataclass(frozen=True)

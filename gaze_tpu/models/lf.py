@@ -26,23 +26,34 @@ class LateFusion(nn.Module):
 
     @nn.compact
     def __call__(self, maps: jnp.ndarray) -> jnp.ndarray:
+        # "edge" replicate-pads the input of each conv and runs VALID, so
+        # border outputs extrapolate the map instead of seeing fabricated
+        # zeros (LFConfig.padding rationale; parameter shapes identical
+        # either way — checkpoints are interchangeable, behavior is not).
+        edge = self.cfg.padding == "edge"
+        if not edge and self.cfg.padding != "zero":
+            raise ValueError(f"unknown LF padding {self.cfg.padding!r}")
+
+        def pad(x):
+            return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+
         x = maps
         for i, ch in enumerate(self.cfg.channels):
             x = nn.Conv(
                 ch,
                 kernel_size=(3, 3),
-                padding=1,
+                padding=0 if edge else 1,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"conv{i + 1}",
-            )(x)
+            )(pad(x) if edge else x)
             x = nn.relu(x)
         x = nn.Conv(
             1,
             kernel_size=(3, 3),
-            padding=1,
+            padding=0 if edge else 1,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="out_conv",
-        )(x)
+        )(pad(x) if edge else x)
         return nn.sigmoid(x.astype(jnp.float32))[..., 0]
