@@ -81,6 +81,12 @@ def main() -> None:
                    help="PTQ calibration at this upper percentile of |x| "
                         "instead of the max (outlier-robust); <=0 forces "
                         "max-calibration (overriding turbo's 99.9 default)")
+    p.add_argument("--quant_stem", choices=["int8", "bf16"], default=None,
+                   help="conv1_1 precision in the quant path: bf16 runs "
+                        "the 27-deep stem off the unquantized input "
+                        "(faster AND more accurate on v5e — the int8 MXU "
+                        "path can't win at contraction depth 27; "
+                        "models/quant.py QuantVGG docstring)")
     p.add_argument("--quant", choices=["on", "off"], default=None,
                    help="int8-quantize the two VGG encoder streams "
                         "(PTQ calibrated on the bench streams; "
@@ -106,13 +112,14 @@ def main() -> None:
         # docs/STATUS.md) — outliers no longer stretch the int8 grid.
         "turbo": dict(dtype="bfloat16", flow_scale=0.5, tvl1_warps=3,
                       tvl1_iters=5, quant=True, quant_percentile=99.9,
-                      decoder="deconv"),
+                      quant_stem="bf16", decoder="deconv"),
         "production": dict(dtype="bfloat16", flow_scale=0.5, tvl1_warps=None,
                            tvl1_iters=None, quant=False,
-                           quant_percentile=None, decoder="deconv"),
+                           quant_percentile=None, quant_stem="int8",
+                           decoder="deconv"),
         "parity": dict(dtype="float32", flow_scale=1.0, tvl1_warps=None,
                        tvl1_iters=None, quant=False, quant_percentile=None,
-                       decoder="deconv"),
+                       quant_stem="int8", decoder="deconv"),
     }
     # Default preset: turbo for infer/serve, production for train (quant
     # and the reduced-effort solver are SERVING knobs). An EXPLICIT
@@ -141,6 +148,8 @@ def main() -> None:
     elif args.quant_percentile <= 0:
         args.quant_percentile = None  # explicit max-calibration
     args.quant = preset["quant"] if args.quant is None else args.quant == "on"
+    if args.quant_stem is None:
+        args.quant_stem = preset["quant_stem"]
     if args.decoder is None:
         # The polyphase tail is exact but inference-only (BN folded on
         # running stats) — the train bench keeps the canonical module.
@@ -239,7 +248,8 @@ def main() -> None:
                       np.stack([s[0][t + 1] for s in seqs]))
                      for t in range(min(4, T - 1))]
             qsp = calibrate_pipeline_sp(pipeline, variables, pairs,
-                                        percentile=args.quant_percentile)
+                                        percentile=args.quant_percentile,
+                                        bf16_stem=args.quant_stem == "bf16")
         server = StreamServer(cfg, variables, max_streams=B, dtype=dtype,
                               quant_sp=qsp, decoder_impl=args.decoder)
         for s in range(B):
@@ -287,7 +297,8 @@ def main() -> None:
                   np.stack([s[0][t + 1] for s in seqs]))
                  for t in range(min(4, T))]  # seqs hold T+1 frames
         qsp = calibrate_pipeline_sp(pipeline, variables, pairs,
-                                    percentile=args.quant_percentile)
+                                    percentile=args.quant_percentile,
+                                    bf16_stem=args.quant_stem == "bf16")
         pipeline = dataclasses.replace(pipeline, quant_sp=qsp)
         clip_fn = make_clip_fn(pipeline)
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
+import sys
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import jax
@@ -264,6 +265,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "max — robust to outlier pixels on real data")
     p.add_argument("--quant_calib_batches", type=int, default=8,
                    help="training batches used for PTQ calibration")
+    p.add_argument("--quant_stem", choices=["int8", "bf16"], default="int8",
+                   help="conv1_1 precision under --quant_sp: bf16 runs "
+                        "the depth-27 stem off the unquantized input — "
+                        "faster AND more accurate on v5e (models/quant.py "
+                        "QuantVGG docstring). int8 (default) keeps the "
+                        "fully-quantized chain; QAT-scale checkpoints "
+                        "always use int8 (the twin they trained against)")
     p.add_argument("--tboard", default=None, metavar="DIR",
                    help="also mirror step metrics into TensorBoard event "
                         "files under DIR/<stage>/ (dependency-free "
@@ -1048,6 +1056,10 @@ def main(argv: Optional[List[str]] = None) -> None:
                     sp_vars["params"]["temporal"], qat_scales["temporal"]
                 ),
             )
+            if args.quant_stem == "bf16":
+                print("--quant_stem bf16 ignored: QAT scales quantize "
+                      "through the exact chain the weights were "
+                      "fine-tuned against (full int8)", file=sys.stderr)
             print({"quant_sp": "int8", "scales": "qat"})
         else:
             pairs = _calibration_pairs(args, cfg)
@@ -1059,9 +1071,11 @@ def main(argv: Optional[List[str]] = None) -> None:
             qsp = calibrate_pipeline_sp(
                 pipeline, {"sp": sp_vars}, pairs,
                 percentile=args.quant_percentile,
+                bf16_stem=args.quant_stem == "bf16",
             )
             print({"quant_sp": "int8", "calibration_batches": len(pairs),
-                   "percentile": args.quant_percentile})
+                   "percentile": args.quant_percentile,
+                   "stem": args.quant_stem})
         eval_pipeline = dataclasses.replace(pipeline, quant_sp=qsp)
     if args.extract_late:
         run_extract_late(args, cfg, eval_pipeline, sp_vars, at_vars)

@@ -61,13 +61,25 @@ _ZP = 128
 
 @dataclasses.dataclass(frozen=True)
 class QuantVGG:
-    """Quantized parameters + calibrated activation scales of one stream."""
+    """Quantized parameters + calibrated activation scales of one stream.
+
+    ``stem_kernel``/``stem_bias`` non-None selects the MIXED stem: conv1_1
+    runs in bf16 straight off the float input (no input quantization) and
+    its epilogue requantizes into conv1_2's unsigned grid. Measured on
+    v5e (tools/bench_sp_layers.py, B=128): the int8 conv1_1 is ~1.1 ms
+    SLOWER than bf16 — its contraction depth is 27 (3x3x3 taps), a sliver
+    of the MXU's int8 granule, so int8 buys no MAC throughput there and
+    the input round/clip is pure overhead. Every interior conv (depth
+    >= 576) keeps the int8 win. The bf16 stem is also more accurate (no
+    input-grid rounding)."""
 
     kernels: Dict[str, jnp.ndarray]   # int8 HWIO
     w_scales: Dict[str, jnp.ndarray]  # (O,) f32 per-output-channel
     biases: Dict[str, jnp.ndarray]    # (O,) f32
     act_scales: Dict[str, jnp.ndarray]  # () f32 input scale per layer
     col_sums: Dict[str, jnp.ndarray]  # (O,) f32 sum of int8 kernel over h,w,i
+    stem_kernel: Optional[jnp.ndarray] = None  # bf16 HWIO conv1_1 (mixed stem)
+    stem_bias: Optional[jnp.ndarray] = None    # (O,) f32
 
 
 def quantize_vgg_params(params: Dict[str, Any]) -> Tuple[
@@ -148,15 +160,21 @@ def calibrate_vgg(
 
 
 def build_quant_vgg(
-    params: Dict[str, Any], act_scales: Dict[str, jnp.ndarray]
+    params: Dict[str, Any], act_scales: Dict[str, jnp.ndarray],
+    bf16_stem: bool = False,
 ) -> QuantVGG:
     kernels, w_scales, biases = quantize_vgg_params(params)
     col_sums = {
         name: jnp.sum(k.astype(jnp.float32), axis=(0, 1, 2))
         for name, k in kernels.items()
     }
+    stem_k = stem_b = None
+    if bf16_stem:
+        stem_k = jnp.asarray(params[_LAYERS[0]]["kernel"], jnp.bfloat16)
+        stem_b = jnp.asarray(params[_LAYERS[0]]["bias"], jnp.float32)
     return QuantVGG(kernels=kernels, w_scales=w_scales, biases=biases,
-                    act_scales=dict(act_scales), col_sums=col_sums)
+                    act_scales=dict(act_scales), col_sums=col_sums,
+                    stem_kernel=stem_k, stem_bias=stem_b)
 
 
 def quant_vgg_forward(q: QuantVGG, x: jnp.ndarray) -> jnp.ndarray:
@@ -179,16 +197,35 @@ def quant_vgg_forward(q: QuantVGG, x: jnp.ndarray) -> jnp.ndarray:
     from flax.linen import max_pool
 
     x = x.astype(jnp.float32)
-    sx0 = q.act_scales[_LAYERS[0]]
-    # First layer input: signed data, symmetric grid, zero point 0 —
-    # SAME zero-padding is exact here.
-    xq = jnp.clip(jnp.round(x / sx0), -127, 127).astype(jnp.int8)
-    zp = 0
+    if q.stem_kernel is None:
+        sx0 = q.act_scales[_LAYERS[0]]
+        # First layer input: signed data, symmetric grid, zero point 0 —
+        # SAME zero-padding is exact here.
+        xq = jnp.clip(jnp.round(x / sx0), -127, 127).astype(jnp.int8)
+        zp = 0
     li = 0
     for s, stage in enumerate(VGG16_STAGES):
         for _ in stage:
             name = _LAYERS[li]
             li += 1
+            if li == 1 and q.stem_kernel is not None:
+                # Mixed stem: conv1_1 in bf16 off the unquantized input
+                # (contraction depth 27 — too shallow for the int8 MXU
+                # path to win; see the class docstring), f32 accumulate,
+                # then the same fused bias+ReLU+requant epilogue into
+                # conv1_2's unsigned grid.
+                acc = jax.lax.conv_general_dilated(
+                    x.astype(jnp.bfloat16), q.stem_kernel, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32,
+                )
+                sn = q.act_scales[_LAYERS[1]]
+                xq = jnp.clip(
+                    jnp.round(acc / sn + (q.stem_bias / sn - _ZP)),
+                    -128, 127,
+                ).astype(jnp.int8)
+                zp = _ZP
+                continue
             sx = q.act_scales[name]
             if zp == 0:
                 acc = jax.lax.conv_general_dilated(
@@ -251,6 +288,7 @@ def calibrate_sp(
     percentile: Optional[float] = None,
     sp_variables: Optional[Dict[str, Any]] = None,
     tail_cfg: Any = None,
+    bf16_stem: bool = False,
 ) -> QuantSP:
     """Calibrate + quantize both SP encoder streams from representative
     (already preprocessed/normalized) rgb and flow inputs.
@@ -262,10 +300,12 @@ def calibrate_sp(
     spatial = build_quant_vgg(
         sp_params["spatial"],
         calibrate_vgg(sp_params["spatial"], rgb_batches, margin, percentile),
+        bf16_stem=bf16_stem,
     )
     temporal = build_quant_vgg(
         sp_params["temporal"],
         calibrate_vgg(sp_params["temporal"], flow_batches, margin, percentile),
+        bf16_stem=bf16_stem,
     )
     tail = None
     if tail_cfg is not None:
@@ -293,6 +333,7 @@ def calibrate_sp(
 def calibrate_pipeline_sp(
     pipeline, variables: Dict[str, Any], frame_pairs, margin: float = 1.0,
     percentile: Optional[float] = None, quant_tail: bool = False,
+    bf16_stem: bool = False,
 ) -> QuantSP:
     """Calibrate from RAW uint8 frame pairs via the pipeline's own
     preprocessing (resize/normalize + TV-L1 — or the precomputed flow
@@ -323,12 +364,14 @@ def calibrate_pipeline_sp(
         variables["sp"]["params"], rgb_b, flow_b, margin, percentile,
         sp_variables=variables["sp"] if quant_tail else None,
         tail_cfg=pipeline.config.sp if quant_tail else None,
+        bf16_stem=bf16_stem,
     )
 
 
 jax.tree_util.register_dataclass(
     QuantVGG,
-    data_fields=["kernels", "w_scales", "biases", "act_scales", "col_sums"],
+    data_fields=["kernels", "w_scales", "biases", "act_scales", "col_sums",
+                 "stem_kernel", "stem_bias"],
     meta_fields=[],
 )
 jax.tree_util.register_dataclass(

@@ -68,6 +68,27 @@ class TestQuantVGG:
         # "tighten ~2x" acceptance, with margin
         assert _cos(got, ref) > 0.995, _cos(got, ref)
 
+    def test_bf16_stem_tracks_at_least_as_well(self, vgg_setup):
+        """Mixed stem (bf16 conv1_1, int8 interior): same output shape,
+        tracks f32 at least as closely as the all-int8 chain (the stem
+        skips the input-grid rounding entirely), and the chain re-enters
+        int8 at conv1_2 (asserted via the stored stem params)."""
+        vgg, params, x = vgg_setup
+        ref = np.asarray(vgg.apply({"params": params}, jnp.asarray(x)))
+        scales = calibrate_vgg(params, [x])
+        q_int8 = build_quant_vgg(params, scales)
+        q_mixed = build_quant_vgg(params, scales, bf16_stem=True)
+        assert q_mixed.stem_kernel is not None
+        assert q_mixed.stem_kernel.dtype == jnp.bfloat16
+        got_int8 = np.asarray(quant_vgg_forward(q_int8, jnp.asarray(x)))
+        got_mixed = np.asarray(quant_vgg_forward(q_mixed, jnp.asarray(x)))
+        assert got_mixed.shape == ref.shape
+        c_mixed, c_int8 = _cos(got_mixed, ref), _cos(got_int8, ref)
+        assert c_mixed > 0.995, c_mixed
+        # small slack: downstream of conv1_2 the chains are identical,
+        # so any gap is the stem's (exact bf16) vs (int8-rounded) input
+        assert c_mixed >= c_int8 - 1e-4, (c_mixed, c_int8)
+
 
 class TestQuantPipeline:
     def test_quant_step_runs_and_tracks(self):

@@ -32,6 +32,9 @@ def main() -> None:
                    help="override TV-L1 warps per level")
     p.add_argument("--tvl1_iters", type=int, default=None,
                    help="override TV-L1 PD iterations per warp")
+    p.add_argument("--quant_stem", choices=["int8", "bf16"], default="int8",
+                   help="conv1_1 precision under --quant (bf16 = mixed "
+                        "stem; models/quant.py QuantVGG docstring)")
     p.add_argument("--quant", action="store_true",
                    help="profile with int8-quantized SP streams "
                         "(models/quant.py; calibrated on the probe clip)")
@@ -88,7 +91,8 @@ def main() -> None:
                           width=cfg.image.width)
         )
         qsp = calibrate_pipeline_sp(
-            pipeline, variables, [(f0[None, 0], f0[None, 1])]
+            pipeline, variables, [(f0[None, 0], f0[None, 1])],
+            bf16_stem=args.quant_stem == "bf16",
         )
         pipeline = dataclasses.replace(pipeline, quant_sp=qsp)
 
