@@ -87,6 +87,12 @@ def main() -> None:
                         "(faster AND more accurate on v5e — the int8 MXU "
                         "path can't win at contraction depth 27; "
                         "models/quant.py QuantVGG docstring)")
+    p.add_argument("--quant_conv", choices=["xla", "pallas"], default=None,
+                   help="int8 conv implementation for the quant streams: "
+                        "pallas = implicit-im2col Pallas chain for the "
+                        "deep stages (ops/pallas/conv_int8.py, "
+                        "bit-identical to xla; measured slower in chain "
+                        "on v5e — see the module's negative-result note)")
     p.add_argument("--quant", choices=["on", "off"], default=None,
                    help="int8-quantize the two VGG encoder streams "
                         "(PTQ calibrated on the bench streams; "
@@ -150,6 +156,8 @@ def main() -> None:
     args.quant = preset["quant"] if args.quant is None else args.quant == "on"
     if args.quant_stem is None:
         args.quant_stem = preset["quant_stem"]
+    if args.quant_conv is None:
+        args.quant_conv = preset.get("quant_conv", "xla")
     if args.decoder is None:
         # The polyphase tail is exact but inference-only (BN folded on
         # running stats) — the train bench keeps the canonical module.
@@ -251,7 +259,8 @@ def main() -> None:
                                         percentile=args.quant_percentile,
                                         bf16_stem=args.quant_stem == "bf16")
         server = StreamServer(cfg, variables, max_streams=B, dtype=dtype,
-                              quant_sp=qsp, decoder_impl=args.decoder)
+                              quant_sp=qsp, decoder_impl=args.decoder,
+                              quant_conv=args.quant_conv)
         for s in range(B):
             server.attach(s)
         ticks = [
@@ -299,7 +308,8 @@ def main() -> None:
         qsp = calibrate_pipeline_sp(pipeline, variables, pairs,
                                     percentile=args.quant_percentile,
                                     bf16_stem=args.quant_stem == "bf16")
-        pipeline = dataclasses.replace(pipeline, quant_sp=qsp)
+        pipeline = dataclasses.replace(pipeline, quant_sp=qsp,
+                                       quant_conv=args.quant_conv)
         clip_fn = make_clip_fn(pipeline)
 
     # NOTE on timing: this environment reaches the TPU through a relay

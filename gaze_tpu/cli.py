@@ -265,6 +265,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "max — robust to outlier pixels on real data")
     p.add_argument("--quant_calib_batches", type=int, default=8,
                    help="training batches used for PTQ calibration")
+    p.add_argument("--quant_conv", choices=["xla", "pallas"], default="xla",
+                   help="int8 conv implementation under --quant_sp: "
+                        "pallas routes the deep VGG stages through the "
+                        "implicit-im2col chain (ops/pallas/conv_int8.py "
+                        "— bit-identical to xla; measured slower in "
+                        "chain on v5e, kept as a tested alternative; "
+                        "non-TPU backends fall back to xla silently)")
     p.add_argument("--quant_stem", choices=["int8", "bf16"], default="int8",
                    help="conv1_1 precision under --quant_sp: bf16 runs "
                         "the depth-27 stem off the unquantized input — "
@@ -1076,7 +1083,8 @@ def main(argv: Optional[List[str]] = None) -> None:
             print({"quant_sp": "int8", "calibration_batches": len(pairs),
                    "percentile": args.quant_percentile,
                    "stem": args.quant_stem})
-        eval_pipeline = dataclasses.replace(pipeline, quant_sp=qsp)
+        eval_pipeline = dataclasses.replace(
+            pipeline, quant_sp=qsp, quant_conv=args.quant_conv)
     if args.extract_late:
         run_extract_late(args, cfg, eval_pipeline, sp_vars, at_vars)
     if args.train_late:

@@ -76,6 +76,11 @@ class GazePipeline:
     config: PipelineConfig
     dtype: Any = jnp.float32
     quant_sp: Any = None
+    # int8 conv implementation for the quant streams: "xla" (default)
+    # or "pallas" — the implicit-im2col chain for the deep stages
+    # (ops/pallas/conv_int8.py; bit-identical, TPU-only — other
+    # backends silently fall back to XLA).
+    quant_conv: str = "xla"
     # Where the AT module pools its channel weights at a fixation onset
     # when no teacher gaze is supplied:
     #   "sp_argmax"  — the CURRENT frame's SP saliency argmax (default;
@@ -205,8 +210,10 @@ class GazePipeline:
         if self.quant_sp is not None:
             from gaze_tpu.models.quant import quant_vgg_forward
 
-            feat = quant_vgg_forward(self.quant_sp.spatial, rgb_in)
-            f_temporal = quant_vgg_forward(self.quant_sp.temporal, flow_in)
+            feat = quant_vgg_forward(
+                self.quant_sp.spatial, rgb_in, conv_impl=self.quant_conv)
+            f_temporal = quant_vgg_forward(
+                self.quant_sp.temporal, flow_in, conv_impl=self.quant_conv)
             if self.quant_sp.tail is not None:
                 from gaze_tpu.models.quant_tail import quant_tail_forward
 

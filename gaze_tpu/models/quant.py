@@ -177,8 +177,40 @@ def build_quant_vgg(
                     stem_kernel=stem_k, stem_bias=stem_b)
 
 
-def quant_vgg_forward(q: QuantVGG, x: jnp.ndarray) -> jnp.ndarray:
+def _stage_taps(q: QuantVGG, names: Tuple[str, ...]):
+    """ConvTaps (ops/pallas/conv_int8.py) for a run of interior layers:
+    the same per-channel requant algebra as the XLA loop below, folded
+    into (k9, a, c) so the Pallas chain is bit-identical."""
+    from gaze_tpu.ops.pallas.conv_int8 import ConvTap
+
+    taps = []
+    for name in names:
+        li = _LAYERS.index(name)
+        sx, sn = q.act_scales[name], q.act_scales[_LAYERS[li + 1]]
+        a = (sx * q.w_scales[name]) / sn
+        c = (q.biases[name] / sn - _ZP) + (_ZP * q.col_sums[name]) * a
+        k = q.kernels[name]
+        taps.append(ConvTap(
+            k9=k.reshape(9, k.shape[2], k.shape[3]),
+            a=a[None].astype(jnp.float32),
+            c=c[None].astype(jnp.float32),
+        ))
+    return taps
+
+
+def quant_vgg_forward(
+    q: QuantVGG, x: jnp.ndarray, conv_impl: str = "xla"
+) -> jnp.ndarray:
     """int8 VGG16 forward: f32 NHWC input -> f32 conv5 features.
+
+    ``conv_impl="pallas"`` routes the deep interior stages (conv3_1..
+    conv5_2 — every layer with 128-multiple channels except the
+    dequantizing conv5_3) through the implicit-im2col Pallas chain
+    (ops/pallas/conv_int8.py) when running on TPU; bit-identical to the
+    XLA loop but measured SLOWER in chain on v5e (stream 18.0 vs 14.05
+    ms — see the kernel module's negative-result note), so "xla" stays
+    the default. Other backends fall back to XLA silently (same
+    numerics, matching the use_pallas_warp convention in ops/tvl1.py).
 
     int8-RESIDENT chain: each conv accumulates in int32 on the MXU and
     its epilogue writes the next layer's int8 input directly — dequant,
@@ -203,9 +235,23 @@ def quant_vgg_forward(q: QuantVGG, x: jnp.ndarray) -> jnp.ndarray:
         # SAME zero-padding is exact here.
         xq = jnp.clip(jnp.round(x / sx0), -127, 127).astype(jnp.int8)
         zp = 0
+    use_pallas = conv_impl == "pallas" and jax.default_backend() == "tpu"
     li = 0
     for s, stage in enumerate(VGG16_STAGES):
-        for _ in stage:
+        consumed = 0
+        if use_pallas and s >= 2:
+            # Deep interior stages as one Pallas chain per stage (the
+            # stage's intermediate canvases never leave VMEM); the
+            # dequantizing final layer (conv5_3) stays on the XLA body.
+            from gaze_tpu.ops.pallas.conv_int8 import conv3x3_int8_chain
+
+            end = li + len(stage)
+            chain = _LAYERS[li:end if end < len(_LAYERS) else end - 1]
+            if chain:
+                xq = conv3x3_int8_chain(xq, _stage_taps(q, tuple(chain)))
+                li += len(chain)
+                consumed = len(chain)
+        for _ in range(len(stage) - consumed):
             name = _LAYERS[li]
             li += 1
             if li == 1 and q.stem_kernel is not None:

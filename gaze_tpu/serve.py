@@ -42,6 +42,7 @@ class StreamServer:
         quant_sp=None,
         at_pool: str = "sp_argmax",
         decoder_impl: str = "deconv",
+        quant_conv: str = "xla",
     ):
         """Args (beyond the obvious):
 
@@ -86,7 +87,7 @@ class StreamServer:
             raise ValueError(f"unknown fixation_source {fixation_source!r}")
         self.pipeline = GazePipeline(
             config, dtype=dtype, quant_sp=quant_sp, at_pool=at_pool,
-            decoder_impl=decoder_impl,
+            decoder_impl=decoder_impl, quant_conv=quant_conv,
         )
         self.variables = variables
         self.max_streams = max_streams

@@ -131,3 +131,33 @@ class TestCompiledEndToEnd:
         diff = np.abs(f_pallas - f_xla)[:, 8:-8, 8:-8]
         assert np.median(diff) < 0.05, float(np.median(diff))
         assert np.mean(diff) < 0.2, float(np.mean(diff))
+
+
+class TestCompiledConvInt8:
+    def test_quant_stream_pallas_vs_xla_bitwise(self):
+        """The implicit-im2col int8 conv chain (ops/pallas/conv_int8.py)
+        must be BIT-identical to the XLA quant chain when compiled on
+        hardware: integer conv accumulation is exact and the f32 requant
+        epilogue is the same expression, so any deviation is a real
+        kernel bug (alignment, mask, guard geometry)."""
+        from gaze_tpu.models.quant import (
+            build_quant_vgg,
+            calibrate_vgg,
+            quant_vgg_forward,
+        )
+        from gaze_tpu.models.vgg import VGG16Features
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(0.0, 1.0, (4, 64, 64, 3)).astype(np.float32)
+        params = VGG16Features().init(
+            jax.random.key(0), jnp.asarray(x))["params"]
+        for stem in (False, True):
+            q = build_quant_vgg(params, calibrate_vgg(params, [x]),
+                                bf16_stem=stem)
+            f_xla = jax.jit(lambda v: quant_vgg_forward(q, v, "xla"))
+            f_pal = jax.jit(lambda v: quant_vgg_forward(q, v, "pallas"))
+            np.testing.assert_array_equal(
+                np.asarray(f_xla(jnp.asarray(x))),
+                np.asarray(f_pal(jnp.asarray(x))),
+                err_msg=f"bf16_stem={stem}",
+            )
