@@ -94,6 +94,30 @@ def build_argparser() -> argparse.ArgumentParser:
                         "map-extraction stage; the in-memory LF path does "
                         "not need it, but the files match the reference "
                         "workflow)")
+    p.add_argument("--extract_flow", action="store_true",
+                   help="offline dense_flow replacement: on-TPU TV-L1 "
+                        "over every consecutive frame pair of "
+                        "<data_root>/images/, written as 8-bit flow "
+                        "images in dense_flow's layout (default "
+                        "<data_root>/flows/ — which --precomputed_flow "
+                        "and reference-era PyTorch workflows consume); "
+                        "pair with --tvl1_preset dense_flow for the "
+                        "OpenCV-matched solver schedule")
+    p.add_argument("--flow_out", type=str, default=None, metavar="DIR",
+                   help="--extract_flow output root (default "
+                        "<data_root>/flows)")
+    p.add_argument("--flow_bound", type=float, default=None,
+                   help="--extract_flow quantization clip in ±pixels "
+                        "(dense_flow's -b; default: the config's "
+                        "tvl1.quant_bound, so produced and consumed "
+                        "grids agree)")
+    p.add_argument("--flow_layout", choices=["xy", "packed"], default="xy",
+                   help="--extract_flow layout: flow_x_/flow_y_ "
+                        "grayscale pairs (dense_flow default) or packed "
+                        "(ch0=x, ch1=y) single files")
+    p.add_argument("--flow_format", choices=["jpg", "png"], default="jpg",
+                   help="--extract_flow image format (jpg = dense_flow "
+                        "parity, lossy; png = lossless)")
     p.add_argument("--infer", type=str, default=None, metavar="PATH",
                    help="run gaze inference on a raw video file (MJPEG "
                         "AVI works with no ffmpeg; other codecs need "
@@ -768,6 +792,31 @@ def run_extract_late(args, cfg, pipeline, sp_vars, at_vars) -> None:
         dump("synthetic", _batches(args, cfg, train=False))
 
 
+def run_extract_flow(args, cfg) -> int:
+    """The reference's offline dense_flow preprocessing pass (SURVEY §1
+    L0), run on-TPU: TV-L1 per consecutive frame pair, quantized to
+    8-bit flow images under <data_root>/flows/ (or --flow_out). Needs
+    only <data_root>/images/ — gaze/fixsac annotations are not read,
+    matching dense_flow's bare frame-directory interface."""
+    from gaze_tpu.data.flow_extract import FlowExtractSpec, extract_flow_images
+
+    if not args.data_root:
+        raise ValueError("--extract_flow requires --data_root")
+    spec = FlowExtractSpec(
+        tvl1=cfg.tvl1,
+        bound=args.flow_bound if args.flow_bound is not None
+        else cfg.tvl1.quant_bound,
+        layout=args.flow_layout,
+        fmt=args.flow_format,
+        batch_size=args.batch_size,
+        flow_scale=args.flow_scale,
+    )
+    total = extract_flow_images(args.data_root, spec, out_root=args.flow_out)
+    print({"extract_flow_total": total,
+           "out": args.flow_out or os.path.join(args.data_root, "flows")})
+    return total
+
+
 def run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state, mesh=None) -> Dict[str, float]:
     """Full-pipeline evaluation; per-video AAE/AUC breakdown plus the
     average, matching the reference's report format (SURVEY.md §3.5).
@@ -1006,6 +1055,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     sp_vars = at_vars = None
     lf_state = None
 
+    # Flow extraction runs first: it is the reference's offline
+    # preprocessing stage, and training stages in the same invocation
+    # then auto-detect the freshly written flows/ (--precomputed_flow).
+    if args.extract_flow:
+        run_extract_flow(args, cfg)
     if args.train_sp:
         sp_vars = run_train_sp(args, cfg, pipeline, mesh)
     if (args.train_qat or args.train_lstm or args.train_late or args.eval

@@ -104,6 +104,13 @@ def _read_fixsac_txt(path: str) -> np.ndarray:
                           dtype=np.float32)
 
 
+def _first_existing(*candidates: str) -> Optional[str]:
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    return None
+
+
 def build_manifest(root: str, native_hw: Tuple[int, int] = (720, 960)) -> GTEAManifest:
     """Scan the dataset root into a manifest. Raises FileNotFoundError if
     the layout is absent (callers gate on this — no dataset ships here)."""
@@ -140,24 +147,34 @@ def build_manifest(root: str, native_hw: Tuple[int, int] = (720, 960)) -> GTEAMa
             fixsac = np.ones((len(names),), np.float32)
         recs = []
         n = min(len(names), len(gaze), len(fixsac))
+        fdir = os.path.join(flows_root, v)
         for i in range(n):
-            fp = os.path.join(flows_root, v, names[i])
-            fxp = os.path.join(flows_root, v, "flow_x_" + names[i])
-            fyp = os.path.join(flows_root, v, "flow_y_" + names[i])
+            # Flow images match the frame name; a .png twin of a .jpg
+            # frame name is also accepted (the lossless option of this
+            # repo's own --extract_flow producer, data/flow_extract.py).
+            stem = os.path.splitext(names[i])[0]
+            fp = _first_existing(
+                os.path.join(fdir, names[i]),
+                os.path.join(fdir, stem + ".png"),
+            )
+            fxp = _first_existing(
+                os.path.join(fdir, "flow_x_" + names[i]),
+                os.path.join(fdir, "flow_x_" + stem + ".png"),
+            )
+            fyp = _first_existing(
+                os.path.join(fdir, "flow_y_" + names[i]),
+                os.path.join(fdir, "flow_y_" + stem + ".png"),
+            )
             recs.append(
                 FrameRecord(
                     video=v,
                     index=i,
                     image_path=os.path.join(vdir, names[i]),
-                    flow_path=fp if os.path.exists(fp) else None,
+                    flow_path=fp,
                     gaze=(float(gaze[i, 0]), float(gaze[i, 1])),
                     fixation=float(fixsac[i]),
                     gaze_valid=bool(valid[i]),
-                    flow_xy_paths=(
-                        (fxp, fyp)
-                        if os.path.exists(fxp) and os.path.exists(fyp)
-                        else None
-                    ),
+                    flow_xy_paths=(fxp, fyp) if fxp and fyp else None,
                 )
             )
         frames[v] = recs

@@ -102,6 +102,14 @@ def decode_batch(
     if len(paths) == 0:
         raise ValueError("empty path list")
     lib = _load()
+    # The native decoder is libjpeg-only; route non-JPEG batches (e.g.
+    # --extract_flow's lossless .png flow images) through PIL. GTEA
+    # batches are homogeneous per call, so checking the first suffices.
+    if lib is not None and not paths[0].lower().endswith(".jpg") \
+            and not paths[0].lower().endswith(".jpeg"):
+        with open(paths[0], "rb") as f:
+            if f.read(2) != b"\xff\xd8":  # not a JPEG stream either
+                lib = None
     if lib is not None:
         if target_hw is None:
             dims = jpeg_dims(paths[0])
