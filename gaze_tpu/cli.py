@@ -131,6 +131,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="also dump predicted heatmap PNGs here")
     p.add_argument("--infer_heatmap_every", type=int, default=10,
                    help="dump every Nth heatmap (with --infer_heatmaps)")
+    p.add_argument("--infer_overlay", type=str, default=None, metavar="AVI",
+                   help="also write a gaze-overlay MJPEG AVI (predicted "
+                        "heatmap blend + gaze marker on the native-res "
+                        "frames — the reference's demo visualization)")
+    p.add_argument("--infer_overlay_fps", type=int, default=24,
+                   help="frame rate of the --infer_overlay video")
     p.add_argument("--eval", action="store_true",
                    help="evaluate the full pipeline: per-video sequential "
                         "rollout (fixsac-gated LSTM state carried across "
@@ -986,7 +992,8 @@ def run_infer(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> str:
 
     th, tw = cfg.image.height, cfg.image.width
     variables = {"sp": sp_vars, "at": at_vars, "lf": {"params": lf_state.params}}
-    want_maps = bool(args.infer_heatmaps)
+    # The overlay video blends every frame's heatmap, so it also needs maps.
+    want_maps = bool(args.infer_heatmaps) or bool(args.infer_overlay)
     server = StreamServer(
         cfg, variables, max_streams=1, dtype=pipeline.dtype,
         keep_heatmaps=want_maps, quant_sp=pipeline.quant_sp,
@@ -1029,6 +1036,19 @@ def run_infer(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> str:
                 dump_heatmap_png(
                     os.path.join(args.infer_heatmaps, f"{i:06d}.png"), hm
                 )
+    if args.infer_overlay:
+        from gaze_tpu.utils.viz import render_gaze_track, write_overlay_video
+
+        gazes = [
+            (-1.0, -1.0) if g[0] < 0 else (g[0] * nw / tw, g[1] * nh / th)
+            for g, _ in results
+        ]
+        n = write_overlay_video(
+            args.infer_overlay,
+            render_gaze_track(paths, gazes, [hm for _, hm in results]),
+            fps=args.infer_overlay_fps,
+        )
+        print({"infer_overlay": args.infer_overlay, "overlay_frames": n})
     print({"infer_frames": len(results), "gaze_track": out_path,
            "native_size": [nw, nh]})
     return out_path

@@ -330,9 +330,11 @@ class TestInferVideo:
 
         out_txt = str(tmp_path / "gaze.txt")
         hm_dir = str(tmp_path / "maps")
+        overlay = str(tmp_path / "overlay.avi")
         run_cli([
             "--infer", avi, "--infer_out", out_txt,
             "--infer_heatmaps", hm_dir, "--infer_heatmap_every", "2",
+            "--infer_overlay", overlay,
             "--save_dir", save_dir,  # empty -> random-init weights
         ] + ARGS_COMMON)
 
@@ -346,3 +348,20 @@ class TestInferVideo:
 
         pngs = sorted(os.listdir(hm_dir))
         assert pngs and all(p.endswith(".png") for p in pngs)
+
+        # Overlay video: native-resolution, one frame per input frame,
+        # and the post-warmup frames carry the green gaze marker.
+        from gaze_tpu.data.video import iter_mjpeg_avi_frames
+
+        decoded = [
+            np.asarray(Image.open(io.BytesIO(j)).convert("RGB"))
+            for j in iter_mjpeg_avi_frames(overlay)
+        ]
+        assert len(decoded) == 6
+        assert decoded[0].shape == (48, 64, 3)
+        marker = np.array([0, 255, 64])
+        hit = any(
+            (np.abs(d.astype(int) - marker).sum(axis=-1) < 60).any()
+            for d in decoded[1:]
+        )
+        assert hit, "no gaze marker found in overlay frames"
