@@ -123,6 +123,71 @@ def parity_golden_bundle(size: str = "tiny") -> Dict[str, np.ndarray]:
     return {k: np.asarray(v, np.float32) for k, v in out.items()}
 
 
+def quant_golden_bundle(size: str = "tiny") -> Dict[str, np.ndarray]:
+    """Compute the PINNED cross-session bundle for the int8 serving
+    chain ("tiny" = 32² B=2, "full" = 224² B=1).
+
+    Mirrors ``parity_golden_bundle`` but serves the asymmetric-int8 SP
+    streams with the turbo defaults (percentile-99.9 calibration, bf16
+    conv1_1 stem) — the configuration bench.py's headline measures. The
+    pipeline/solver config is the SAME parity config as the f32 bundle,
+    so a drift here that the parity bundle does NOT show isolates the
+    quantization algebra (weight/activation grids, zero-point bias
+    folding, requant epilogues) rather than solver or model numerics.
+
+    Params, inputs AND the calibration corpus all derive from fixed
+    PRNG seeds; recompute on an identical stack is bit-exact.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gaze_tpu.core.config import parity_config
+    from gaze_tpu.data.synthetic import SyntheticSpec, generate_sequence
+    from gaze_tpu.models.pipeline import GazePipeline
+    from gaze_tpu.models.quant import calibrate_pipeline_sp
+
+    if size == "tiny":
+        cfg, batch = golden_tiny_parity_config(), 2
+    elif size == "full":
+        cfg, batch = parity_config(), 1
+    else:
+        raise ValueError(f"unknown golden size {size!r}")
+    f32 = GazePipeline(cfg)
+    variables = f32.init_variables(jax.random.key(0))
+    # Calibration corpus: a distinct fixed seed so the serving inputs
+    # (seed 7, below) are NOT the calibration set.
+    calib_frames, _, _ = generate_sequence(
+        SyntheticSpec(
+            num_frames=2 * batch + 1,
+            height=cfg.image.height,
+            width=cfg.image.width,
+            seed=11,
+        )
+    )
+    pairs = [
+        (calib_frames[i : i + batch], calib_frames[i + 1 : i + 1 + batch])
+        for i in (0, batch)
+    ]
+    qsp = calibrate_pipeline_sp(
+        f32, variables, pairs, percentile=99.9, bf16_stem=True
+    )
+    pipeline = GazePipeline(cfg, quant_sp=qsp)  # f32 tail, int8 streams
+    frames, _, _ = generate_sequence(
+        SyntheticSpec(
+            num_frames=batch + 1,
+            height=cfg.image.height,
+            width=cfg.image.width,
+            seed=7,
+        )
+    )
+    prev = jnp.asarray(frames[:batch])
+    cur = jnp.asarray(frames[1 : batch + 1])
+    fixation = jnp.ones((batch,), jnp.float32)
+    state = pipeline.init_state(batch)
+    out = pipeline_module_outputs(pipeline, variables, state, prev, cur, fixation)
+    return {k: np.asarray(v, np.float32) for k, v in out.items()}
+
+
 def pipeline_module_outputs(
     pipeline, variables, state, prev_u8, cur_u8, fixation, flow_img=None
 ):

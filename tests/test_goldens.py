@@ -148,3 +148,54 @@ class TestPinnedParityBundle:
             actual, load_goldens(path), atol=self.TOL, rtol=self.TOL
         )
         assert ok, f"parity numerics drifted vs committed bundle: {report}"
+
+
+class TestPinnedQuantBundle:
+    """Cross-session regression pin of the int8 serving chain.
+
+    Committed bundles tests/goldens/quant_{tiny,full}.npz come from
+    `quant_golden_bundle`: the SAME parity config and seeds as the f32
+    bundle, served through the asymmetric-int8 streams with the turbo
+    defaults (percentile-99.9 calibration, bf16 conv1_1 stem). A change
+    to the quant algebra — grids, zero-point bias folding, requant
+    epilogues, calibration — fails here even when the f32 parity bundle
+    stays green, so the two bundles together bisect "solver/model
+    drift" from "quantization drift" across sessions.
+
+    Tolerance rationale: identical-stack recompute is bit-exact, but an
+    XLA point-release FMA reordering can flip an activation code at a
+    rounding knife-edge — one flipped code moves downstream f32 tensors
+    by about one quant step (~1e-2 of these tensors' dynamic range), so
+    the parity bundle's 1e-5 would false-alarm. 5e-3 absorbs a handful
+    of step flips while any real scheme change (signed vs unsigned
+    grid, zero-point handling, margin) shifts outputs orders of
+    magnitude more — verified by a deliberate margin*1.01 perturbation
+    failing both sizes before this was committed.
+
+    Regenerate deliberately with:
+        GAZE_TPU_UPDATE_GOLDENS=1 python -m pytest tests/test_goldens.py -k Quant
+    """
+
+    TOL = 5e-3
+
+    @pytest.mark.parametrize("size", ["tiny", "full"])
+    def test_matches_committed_bundle(self, size):
+        import os
+
+        from gaze_tpu.evaluation.goldens import quant_golden_bundle
+
+        path = os.path.join(
+            os.path.dirname(__file__), "goldens", f"quant_{size}.npz"
+        )
+        actual = quant_golden_bundle(size)
+        if os.environ.get("GAZE_TPU_UPDATE_GOLDENS") == "1":
+            save_goldens(path, actual)
+            pytest.skip(f"regenerated {path}")
+        assert os.path.exists(path), (
+            "committed golden bundle missing — run with "
+            "GAZE_TPU_UPDATE_GOLDENS=1 to create it"
+        )
+        ok, report = compare_goldens(
+            actual, load_goldens(path), atol=self.TOL, rtol=self.TOL
+        )
+        assert ok, f"int8-chain numerics drifted vs committed bundle: {report}"
