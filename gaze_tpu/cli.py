@@ -143,10 +143,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "frames, AT pooled at the SP argmax — SURVEY §3.4)")
     p.add_argument("--eval_map", choices=["heatmap", "saliency", "attention"],
                    default="heatmap",
-                   help="which map the rollout eval scores: the LF fusion "
-                        "(default, the reference's metric), the SP "
-                        "saliency alone, or the AT attention alone — "
-                        "same rollout trajectory, per-head ablation")
+                   help="which map the eval scores (rollout AND "
+                        "--eval_teacher_forced): the LF fusion (default, "
+                        "the reference's metric), the SP saliency alone, "
+                        "or the AT attention alone — same trajectory, "
+                        "per-head ablation")
     p.add_argument("--eval_teacher_forced", action="store_true",
                    help="diagnostic eval variant: stateless per-frame AT "
                         "pooled at the GT gaze (NOT the reference's "
@@ -638,9 +639,31 @@ def run_train_lstm(args, cfg, pipeline, mesh, sp_vars) -> Dict:
         raise RuntimeError("no fixation sequences extracted — check fixsac labels")
     # Held-out fixation windows: masked next-weight MSE each epoch drives
     # best-checkpoint tracking, like SP (val AAE) and LF (epoch-end AAE).
+    # The val metric matches the training objective's statefulness:
+    # stateless zero-carry windows for --at_stateless, carry-threaded
+    # TBPTT windows (make_at_stateful_eval) for the default mode.
     video_w, val_w = split_at_validation(video_w)
-    val_seqs, val_mask = build_at_validation_windows(val_w, args.seq_len)
-    eval_fn = make_at_eval_step(pipeline)
+    if args.at_stateless:
+        val_seqs, val_mask = build_at_validation_windows(val_w, args.seq_len)
+        eval_fn = make_at_eval_step(pipeline)
+
+        def val_metric(params) -> Optional[float]:
+            if not len(val_seqs):
+                return None
+            return float(
+                eval_fn(params, jnp.asarray(val_seqs), jnp.asarray(val_mask))
+            )
+    else:
+        from gaze_tpu.train.at import make_at_stateful_eval
+
+        val_lanes = max(1, min(args.batch_size, len(val_w)))
+        val_schedule = build_tbptt_schedule(val_w, args.seq_len, val_lanes)
+        stateful_eval = make_at_stateful_eval(pipeline)
+
+        def val_metric(params) -> Optional[float]:
+            if not val_schedule:
+                return None
+            return stateful_eval(params, val_schedule)
 
     state = create_at_state(jax.random.key(cfg.train.seed), pipeline)
     ckpt_dir = args.at_ckpt or os.path.join(args.save_dir, "at")
@@ -648,11 +671,9 @@ def run_train_lstm(args, cfg, pipeline, mesh, sp_vars) -> Dict:
     logger = StepLogger("at", every=args.log_every, tboard_dir=args.tboard)
 
     def validate_and_track() -> None:
-        if not len(val_seqs):
+        val_mse = val_metric(state.params)
+        if val_mse is None:
             return
-        val_mse = float(
-            eval_fn(state.params, jnp.asarray(val_seqs), jnp.asarray(val_mask))
-        )
         logger.log(int(state.step), {"val_mse": val_mse}, force=True)
         save_best_checkpoint(ckpt_dir, int(state.step), jax.device_get(state), val_mse)
 
@@ -838,7 +859,9 @@ def run_eval(args, cfg, pipeline, sp_vars, at_vars, lf_state, mesh=None) -> Dict
         return _run_eval_rollout(args, cfg, pipeline, sp_vars, at_vars,
                                  lf_state, mesh=mesh)
     frozen = {"sp": sp_vars, "at": at_vars}
-    eval_fn = make_lf_eval_step(pipeline, frozen)
+    eval_fn = make_lf_eval_step(
+        pipeline, frozen, score_key=getattr(args, "eval_map", "heatmap")
+    )
 
     def eval_batches(batches):
         aaes, aucs = [], []

@@ -104,11 +104,15 @@ def _read_fixsac_txt(path: str) -> np.ndarray:
                           dtype=np.float32)
 
 
-def _first_existing(*candidates: str) -> Optional[str]:
-    for c in candidates:
-        if os.path.exists(c):
-            return c
-    return None
+def _dir_names(path: str) -> frozenset:
+    """Filenames under ``path`` as a set (empty when absent) — one
+    ``os.listdir`` per directory instead of per-frame ``os.path.exists``
+    probes, keeping manifest builds O(videos) syscalls at GTEA Gaze+
+    scale (hundreds of thousands of frames on possibly-cold NFS)."""
+    try:
+        return frozenset(os.listdir(path))
+    except OSError:
+        return frozenset()
 
 
 def build_manifest(root: str, native_hw: Tuple[int, int] = (720, 960)) -> GTEAManifest:
@@ -148,23 +152,22 @@ def build_manifest(root: str, native_hw: Tuple[int, int] = (720, 960)) -> GTEAMa
         recs = []
         n = min(len(names), len(gaze), len(fixsac))
         fdir = os.path.join(flows_root, v)
+        flow_names = _dir_names(fdir)
+
+        def flow_file(*candidates: str) -> Optional[str]:
+            for c in candidates:
+                if c in flow_names:
+                    return os.path.join(fdir, c)
+            return None
+
         for i in range(n):
             # Flow images match the frame name; a .png twin of a .jpg
             # frame name is also accepted (the lossless option of this
             # repo's own --extract_flow producer, data/flow_extract.py).
             stem = os.path.splitext(names[i])[0]
-            fp = _first_existing(
-                os.path.join(fdir, names[i]),
-                os.path.join(fdir, stem + ".png"),
-            )
-            fxp = _first_existing(
-                os.path.join(fdir, "flow_x_" + names[i]),
-                os.path.join(fdir, "flow_x_" + stem + ".png"),
-            )
-            fyp = _first_existing(
-                os.path.join(fdir, "flow_y_" + names[i]),
-                os.path.join(fdir, "flow_y_" + stem + ".png"),
-            )
+            fp = flow_file(names[i], stem + ".png")
+            fxp = flow_file("flow_x_" + names[i], "flow_x_" + stem + ".png")
+            fyp = flow_file("flow_y_" + names[i], "flow_y_" + stem + ".png")
             recs.append(
                 FrameRecord(
                     video=v,

@@ -79,34 +79,25 @@ def golden_tiny_parity_config():
     )
 
 
-def parity_golden_bundle(size: str = "tiny") -> Dict[str, np.ndarray]:
-    """Compute the PINNED cross-session parity bundle for ``size``
-    ("tiny" = 32² B=2, "full" = 224² B=1, the parity preset).
-
-    Everything — init params AND inputs — derives from fixed PRNG seeds,
-    so the bundle reproduces on any session with the same software stack
-    without committed checkpoints. The committed copies live in
-    ``tests/goldens/parity_*.npz``; the regression test recomputes this
-    function and compares within tolerance, so a kernel/config change
-    that shifts the f32 parity numerics fails CI instead of drifting
-    silently (the reference-era equivalent of its stored ``save/*.pth.tar``
-    + dumped maps, ref:utils.py checkpoint workflow, SURVEY.md §3.2).
-    """
-    import jax
-    import jax.numpy as jnp
-
+def _golden_setup(size: str):
+    """Shared size dispatch for the pinned bundles -> (cfg, batch)."""
     from gaze_tpu.core.config import parity_config
-    from gaze_tpu.data.synthetic import SyntheticSpec, generate_sequence
-    from gaze_tpu.models.pipeline import GazePipeline
 
     if size == "tiny":
-        cfg, batch = golden_tiny_parity_config(), 2
-    elif size == "full":
-        cfg, batch = parity_config(), 1
-    else:
-        raise ValueError(f"unknown golden size {size!r}")
-    pipeline = GazePipeline(cfg)  # float32 parity dtype
-    variables = pipeline.init_variables(jax.random.key(0))
+        return golden_tiny_parity_config(), 2
+    if size == "full":
+        return parity_config(), 1
+    raise ValueError(f"unknown golden size {size!r}")
+
+
+def _compute_bundle(pipeline, variables, cfg, batch) -> Dict[str, np.ndarray]:
+    """Shared bundle scaffolding: the fixed seed-7 serving frames,
+    fixation/state setup, and float32 output conversion — one helper so
+    the parity and quant bundles stay structurally locked together."""
+    import jax.numpy as jnp
+
+    from gaze_tpu.data.synthetic import SyntheticSpec, generate_sequence
+
     frames, _, _ = generate_sequence(
         SyntheticSpec(
             num_frames=batch + 1,
@@ -123,39 +114,58 @@ def parity_golden_bundle(size: str = "tiny") -> Dict[str, np.ndarray]:
     return {k: np.asarray(v, np.float32) for k, v in out.items()}
 
 
+def parity_golden_bundle(size: str = "tiny") -> Dict[str, np.ndarray]:
+    """Compute the PINNED cross-session parity bundle for ``size``
+    ("tiny" = 32² B=2, "full" = 224² B=1, the parity preset).
+
+    Everything — init params AND inputs — derives from fixed PRNG seeds,
+    so the bundle reproduces on any session with the same software stack
+    without committed checkpoints. The committed copies live in
+    ``tests/goldens/parity_*.npz``; the regression test recomputes this
+    function and compares within tolerance, so a kernel/config change
+    that shifts the f32 parity numerics fails CI instead of drifting
+    silently (the reference-era equivalent of its stored ``save/*.pth.tar``
+    + dumped maps, ref:utils.py checkpoint workflow, SURVEY.md §3.2).
+    """
+    import jax
+
+    from gaze_tpu.models.pipeline import GazePipeline
+
+    cfg, batch = _golden_setup(size)
+    pipeline = GazePipeline(cfg)  # float32 parity dtype
+    variables = pipeline.init_variables(jax.random.key(0))
+    return _compute_bundle(pipeline, variables, cfg, batch)
+
+
 def quant_golden_bundle(size: str = "tiny") -> Dict[str, np.ndarray]:
     """Compute the PINNED cross-session bundle for the int8 serving
     chain ("tiny" = 32² B=2, "full" = 224² B=1).
 
     Mirrors ``parity_golden_bundle`` but serves the asymmetric-int8 SP
-    streams with the turbo defaults (percentile-99.9 calibration, bf16
-    conv1_1 stem) — the configuration bench.py's headline measures. The
-    pipeline/solver config is the SAME parity config as the f32 bundle,
-    so a drift here that the parity bundle does NOT show isolates the
-    quantization algebra (weight/activation grids, zero-point bias
-    folding, requant epilogues) rather than solver or model numerics.
+    streams with the TURBO QUANTIZATION SETTINGS (percentile-99.9
+    calibration, bf16 conv1_1 stem). Note this pins only the quant
+    knobs, NOT the full turbo serving configuration: turbo also runs a
+    bf16 fuse/decoder tail, flow_scale=0.5 and a reduced-effort TV-L1
+    solver, whereas this bundle deliberately keeps the f32 tail and the
+    full parity solver — so a drift here that the parity bundle does NOT
+    show isolates the quantization algebra (weight/activation grids,
+    zero-point bias folding, requant epilogues) rather than solver or
+    model numerics.
 
     Params, inputs AND the calibration corpus all derive from fixed
     PRNG seeds; recompute on an identical stack is bit-exact.
     """
     import jax
-    import jax.numpy as jnp
 
-    from gaze_tpu.core.config import parity_config
     from gaze_tpu.data.synthetic import SyntheticSpec, generate_sequence
     from gaze_tpu.models.pipeline import GazePipeline
     from gaze_tpu.models.quant import calibrate_pipeline_sp
 
-    if size == "tiny":
-        cfg, batch = golden_tiny_parity_config(), 2
-    elif size == "full":
-        cfg, batch = parity_config(), 1
-    else:
-        raise ValueError(f"unknown golden size {size!r}")
+    cfg, batch = _golden_setup(size)
     f32 = GazePipeline(cfg)
     variables = f32.init_variables(jax.random.key(0))
     # Calibration corpus: a distinct fixed seed so the serving inputs
-    # (seed 7, below) are NOT the calibration set.
+    # (seed 7, in _compute_bundle) are NOT the calibration set.
     calib_frames, _, _ = generate_sequence(
         SyntheticSpec(
             num_frames=2 * batch + 1,
@@ -172,20 +182,7 @@ def quant_golden_bundle(size: str = "tiny") -> Dict[str, np.ndarray]:
         f32, variables, pairs, percentile=99.9, bf16_stem=True
     )
     pipeline = GazePipeline(cfg, quant_sp=qsp)  # f32 tail, int8 streams
-    frames, _, _ = generate_sequence(
-        SyntheticSpec(
-            num_frames=batch + 1,
-            height=cfg.image.height,
-            width=cfg.image.width,
-            seed=7,
-        )
-    )
-    prev = jnp.asarray(frames[:batch])
-    cur = jnp.asarray(frames[1 : batch + 1])
-    fixation = jnp.ones((batch,), jnp.float32)
-    state = pipeline.init_state(batch)
-    out = pipeline_module_outputs(pipeline, variables, state, prev, cur, fixation)
-    return {k: np.asarray(v, np.float32) for k, v in out.items()}
+    return _compute_bundle(pipeline, variables, cfg, batch)
 
 
 def pipeline_module_outputs(

@@ -59,10 +59,13 @@ def make_at_train_step(pipeline: GazePipeline, mesh: Optional[Mesh] = None):
 def make_at_eval_step(pipeline: GazePipeline):
     """Masked next-weight MSE on held-out fixation windows.
 
-    The validation metric for AT best-checkpoint tracking (the
-    reference's per-stage trainers all checkpoint on validation —
-    ref:SP.py / ref:AT.py pattern, SURVEY.md §2). Stateless zero-carry
-    windows: a proxy for the TBPTT objective, cheap and deterministic.
+    The validation metric for AT best-checkpoint tracking in the
+    STATELESS (``--at_stateless``) ablation mode (the reference's
+    per-stage trainers all checkpoint on validation — ref:SP.py /
+    ref:AT.py pattern, SURVEY.md §2). Stateless zero-carry windows —
+    the matching objective for that mode; the default TBPTT mode
+    validates with :func:`make_at_stateful_eval` instead, so the val
+    metric shares the training objective's statefulness.
     ``(params, seqs (N,T,C), mask (N,T)) -> scalar mse``.
     """
 
@@ -74,6 +77,57 @@ def make_at_eval_step(pipeline: GazePipeline):
         return jnp.sum(err * m) / (jnp.sum(m) * seqs.shape[-1] + 1e-8)
 
     return eval_mse
+
+
+def make_at_stateful_eval(pipeline: GazePipeline):
+    """Stateful (TBPTT-matched) validation MSE.
+
+    Threads the LSTM carry across each lane's consecutive windows
+    exactly like :func:`make_at_tbptt_step` — so best-checkpoint ranking
+    scores the SAME objective stateful training optimizes (a stateless
+    zero-carry proxy can rank-order checkpoints differently on
+    long-carry corpora). Consume a schedule from
+    :func:`build_tbptt_schedule` over the held-out videos.
+
+    Returns ``evaluate(params, schedule) -> float`` (masked mean MSE
+    over all windows; NaN on an empty schedule).
+    """
+    L = pipeline.config.at.num_layers
+
+    @jax.jit
+    def window_mse(params, carry_c, carry_h, inputs, targets, mask, reset):
+        keep = (1.0 - reset).reshape(-1, 1, 1)
+        cc = carry_c * keep
+        ch = carry_h * keep
+        carries = [(cc[:, i], ch[:, i]) for i in range(L)]
+        new_carries, pred = pipeline.lstm.apply(
+            {"params": params}, carries, inputs, method=LSTMNet.rollout
+        )
+        err = jnp.sum((pred - targets) ** 2 * mask[..., None])
+        cnt = jnp.sum(mask) * pred.shape[-1]
+        new_cc = jnp.stack([c for c, _ in new_carries], axis=1)
+        new_ch = jnp.stack([h for _, h in new_carries], axis=1)
+        return new_cc, new_ch, err, cnt
+
+    def evaluate(params, schedule: List[Dict[str, np.ndarray]]) -> float:
+        if not schedule:
+            return float("nan")
+        lanes = schedule[0]["inputs"].shape[0]
+        H = pipeline.config.at.hidden_size
+        cc = jnp.zeros((lanes, L, H), jnp.float32)
+        ch = jnp.zeros((lanes, L, H), jnp.float32)
+        tot = cnt = 0.0
+        for sched in schedule:
+            cc, ch, e, c = window_mse(
+                params, cc, ch,
+                jnp.asarray(sched["inputs"]), jnp.asarray(sched["targets"]),
+                jnp.asarray(sched["mask"]), jnp.asarray(sched["reset"]),
+            )
+            tot += float(e)
+            cnt += float(c)
+        return tot / max(cnt, 1e-8)
+
+    return evaluate
 
 
 def split_at_validation(

@@ -141,15 +141,30 @@ def make_lf_rollout_train_step(
     return jit_dp_step(step, mesh)
 
 
-def make_lf_eval_step(pipeline: GazePipeline, frozen: Dict[str, Any]):
-    """Full-pipeline evaluation (the reference's final ``LF.val()``)."""
+def make_lf_eval_step(
+    pipeline: GazePipeline, frozen: Dict[str, Any], score_key: str = "heatmap"
+):
+    """Full-pipeline evaluation (the reference's final ``LF.val()``).
+
+    ``score_key`` picks which map the metrics score: the LF fusion
+    ("heatmap", default — the reference's metric), the frozen SP
+    saliency alone, or the teacher-forced AT attention alone — the same
+    per-head ablation surface ``--eval_map`` exposes on the rollout eval.
+    """
     cfg = pipeline.config
+    if score_key not in ("heatmap", "saliency", "attention"):
+        raise ValueError(f"unknown score_key {score_key!r}")
 
     @jax.jit
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         sal, amap = _frozen_maps(pipeline, frozen, batch)
-        fused_in = jnp.stack([sal, amap], axis=-1).astype(pipeline.dtype)
-        pred = pipeline.lf.apply({"params": state.params}, fused_in)
+        if score_key == "saliency":
+            pred = sal
+        elif score_key == "attention":
+            pred = amap
+        else:
+            fused_in = jnp.stack([sal, amap], axis=-1).astype(pipeline.dtype)
+            pred = pipeline.lf.apply({"params": state.params}, fused_in)
         return {
             "aae": aae(pred, batch["gaze"], cfg.camera),
             "auc": auc_judd(pred, batch["gaze"]),

@@ -119,6 +119,30 @@ class TestLFTraining:
         ev = make_lf_eval_step(pipeline, frozen)(state, sp_batch)
         assert np.isfinite(np.asarray(ev["aae"])).all()
 
+    def test_eval_score_key_routes_per_head(self, pipeline, sp_batch):
+        """--eval_map applies to the teacher-forced eval too (VERDICT r3
+        weak #5): each score_key must score a genuinely different map,
+        and an unknown key raises instead of being silently ignored."""
+        rng = jax.random.key(1)
+        sp_state = create_sp_state(rng, pipeline)
+        frozen = {
+            "sp": {"params": sp_state.params,
+                   "batch_stats": sp_state.batch_stats},
+            "at": {"params": create_at_state(rng, pipeline).params},
+        }
+        state = create_lf_state(jax.random.key(2), pipeline)
+        per_key = {
+            k: make_lf_eval_step(pipeline, frozen, score_key=k)(state, sp_batch)
+            for k in ("heatmap", "saliency", "attention")
+        }
+        for k, m in per_key.items():
+            assert np.isfinite(np.asarray(m["aae"])).all(), k
+        # random-init heads: the three maps should not all score alike
+        aaes = [float(np.mean(np.asarray(m["aae"]))) for m in per_key.values()]
+        assert len({round(a, 6) for a in aaes}) >= 2
+        with pytest.raises(ValueError):
+            make_lf_eval_step(pipeline, frozen, score_key="bogus")
+
 
 class TestFeatureExtraction:
     def test_extract_weights(self, pipeline, sp_batch):
@@ -302,6 +326,51 @@ class TestATValidation:
             create_at_state(jax.random.key(0), pipeline).params,
             jnp.asarray(seqs), jnp.asarray(mask)))
         assert np.isfinite(m) and m >= 0
+
+    def test_stateful_eval_single_window_matches_stateless(self, pipeline):
+        """A sequence fitting one window has no carry to thread: the
+        stateful TBPTT eval and the stateless proxy must agree exactly
+        (rollout/scan share param scopes; zero initial carry both ways)."""
+        from gaze_tpu.train.at import (
+            build_at_validation_windows,
+            build_tbptt_schedule,
+            make_at_eval_step,
+            make_at_stateful_eval,
+        )
+
+        w = np.random.default_rng(3).uniform(0, 1, (5, 512)).astype(np.float32)
+        params = create_at_state(jax.random.key(0), pipeline).params
+        seqs, mask = build_at_validation_windows([w], seq_len=8)
+        stateless = float(
+            make_at_eval_step(pipeline)(params, jnp.asarray(seqs), jnp.asarray(mask))
+        )
+        schedule = build_tbptt_schedule([w], seq_len=8, lanes=1)
+        stateful = make_at_stateful_eval(pipeline)(params, schedule)
+        assert stateful == pytest.approx(stateless, rel=1e-5)
+
+    def test_stateful_eval_threads_carry_across_windows(self, pipeline):
+        """Across window boundaries the carry must matter: the stateful
+        eval differs from the zero-carry stateless proxy, and zeroing
+        the carry between windows reproduces the proxy (VERDICT r3 weak
+        #3 — the val metric now shares the TBPTT objective)."""
+        from gaze_tpu.train.at import (
+            build_tbptt_schedule,
+            make_at_stateful_eval,
+        )
+
+        w = np.random.default_rng(4).uniform(0, 1, (9, 512)).astype(np.float32)
+        params = create_at_state(jax.random.key(0), pipeline).params
+        schedule = build_tbptt_schedule([w], seq_len=4, lanes=1)
+        assert len(schedule) == 2  # 8 pairs -> two 4-step windows
+        evaluate = make_at_stateful_eval(pipeline)
+        stateful = evaluate(params, schedule)
+        # Force a reset at every window -> the stateless objective.
+        reset_all = [dict(s, reset=np.ones_like(s["reset"])) for s in schedule]
+        stateless = evaluate(params, reset_all)
+        assert np.isfinite(stateful) and np.isfinite(stateless)
+        assert stateful != pytest.approx(stateless, rel=1e-6)
+        # empty schedule -> NaN sentinel (caller skips tracking)
+        assert np.isnan(evaluate(params, []))
 
     def test_best_checkpoint_survives_worsened_final_epoch(self, pipeline, tmp_path):
         """A deliberately-worsened final epoch must still hand LF the
