@@ -134,6 +134,7 @@ def rollout_eval_arrays(
     chunk_len: int = 32,
     mesh: Optional[Mesh] = None,
     score_key: str = "heatmap",
+    flow_img: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Rollout-evaluate V equal-length in-memory videos.
 
@@ -145,6 +146,10 @@ def rollout_eval_arrays(
       valid:  optional (V, T) gaze-validity mask (default all valid).
       mesh:   optional data mesh — videos shard over it (V is padded up
         to a multiple of the mesh size with inactive slots).
+      flow_img: optional (V, T, h, w, 2) uint8 precomputed flow images
+        (the strict-parity dense_flow input mode — the TV-L1 solve is
+        skipped and frame t consumes flow_img[:, t], exactly like the
+        on-disk ``flows/`` path of :func:`rollout_eval_videos`).
 
     Returns:
       (aae_sum, auc_sum, count) arrays of shape (V,) — divide for means.
@@ -159,8 +164,16 @@ def rollout_eval_arrays(
         gaze = np.concatenate([gaze, np.zeros((pad_v,) + gaze.shape[1:], gaze.dtype)])
         fixsac = np.concatenate([fixsac, np.zeros((pad_v,) + fixsac.shape[1:], fixsac.dtype)])
         valid = np.concatenate([valid, np.zeros((pad_v, T), np.float32)])
+        if flow_img is not None:
+            flow_img = np.concatenate(
+                [flow_img,
+                 np.full((pad_v,) + flow_img.shape[1:], 128, flow_img.dtype)]
+            )
         V = V + pad_v
-    chunk_fn = make_rollout_chunk_fn(pipeline, mesh=mesh, score_key=score_key)
+    chunk_fn = make_rollout_chunk_fn(
+        pipeline, with_flow=flow_img is not None, mesh=mesh,
+        score_key=score_key,
+    )
     state = pipeline.init_state(V)
     prev = jnp.asarray(frames[:, 0])
     aae_s = np.zeros((V,), np.float64)
@@ -170,12 +183,17 @@ def rollout_eval_arrays(
         e = min(s + chunk_len, T)
         pad = chunk_len - (e - s)
 
-        def pad_t(x):
+        def pad_t(x, fill=0):
             if pad == 0:
                 return x
             shape = (V, pad) + x.shape[2:]
-            return np.concatenate([x, np.zeros(shape, x.dtype)], axis=1)
+            return np.concatenate([x, np.full(shape, fill, x.dtype)], axis=1)
 
+        extra = ()
+        if flow_img is not None:
+            # zero-motion (128) padding: the masked tail still runs the
+            # step, so keep its flow input benign.
+            extra = (jnp.asarray(pad_t(flow_img[:, s:e], fill=128)),)
         state, prev, sums = chunk_fn(
             variables,
             state,
@@ -184,6 +202,7 @@ def rollout_eval_arrays(
             jnp.asarray(pad_t(fixsac[:, s:e].astype(np.float32))),
             jnp.asarray(pad_t(gaze[:, s:e].astype(np.float32))),
             jnp.asarray(pad_t(valid[:, s:e].astype(np.float32))),
+            *extra,
         )
         aae_s += np.asarray(sums["aae"], np.float64)
         auc_s += np.asarray(sums["auc"], np.float64)
