@@ -105,27 +105,55 @@ def _flow_name(image_name: str, fmt: str) -> str:
     return os.path.splitext(image_name)[0] + ".png"
 
 
-def _save_gray(arr: np.ndarray, path: str, quality: int) -> None:
+def _cv2():
+    """OpenCV if importable, else None. dense_flow writes its flow
+    images with ``cv::imwrite`` (yjxiong/dense_flow), so the cv2 encoder
+    is the byte-level parity choice for produced layouts; PIL is the
+    fallback when cv2 is absent. NOTE: this image ships cv2 WITHOUT
+    opencv-contrib, so ``DualTVL1OpticalFlow`` itself is unavailable —
+    a numeric solver cross-check against OpenCV remains impossible here;
+    only the imwrite/imread codec path can be matched."""
+    try:
+        import cv2
+
+        return cv2
+    except ImportError:
+        return None
+
+
+def _imwrite(arr_rgb_or_gray: np.ndarray, path: str, quality: int) -> None:
+    cv2 = _cv2()
+    if cv2 is not None:
+        a = arr_rgb_or_gray
+        if a.ndim == 3:  # cv2 writes BGR — flip so the file decodes as RGB
+            a = a[..., ::-1]
+        params = (
+            [int(cv2.IMWRITE_JPEG_QUALITY), quality]
+            if path.endswith((".jpg", ".jpeg")) else []
+        )
+        if not cv2.imwrite(path, np.ascontiguousarray(a), params):
+            raise OSError(f"cv2.imwrite failed for {path!r}")
+        return
     from PIL import Image
 
-    img = Image.fromarray(arr, mode="L")
+    img = Image.fromarray(
+        arr_rgb_or_gray, mode="L" if arr_rgb_or_gray.ndim == 2 else "RGB"
+    )
     if path.endswith(".png"):
         img.save(path)
     else:
         img.save(path, quality=quality)
+
+
+def _save_gray(arr: np.ndarray, path: str, quality: int) -> None:
+    _imwrite(arr, path, quality)
 
 
 def _save_packed(arr_xy: np.ndarray, path: str, quality: int) -> None:
     """Packed 3-channel image: ch0=x, ch1=y, ch2=128 (unused padding —
     the consumption path reads only the first two channels)."""
-    from PIL import Image
-
     pad = np.full(arr_xy.shape[:2] + (1,), 128, np.uint8)
-    img = Image.fromarray(np.concatenate([arr_xy, pad], axis=-1), mode="RGB")
-    if path.endswith(".png"):
-        img.save(path)
-    else:
-        img.save(path, quality=quality)
+    _imwrite(np.concatenate([arr_xy, pad], axis=-1), path, quality)
 
 
 def extract_video_flow(

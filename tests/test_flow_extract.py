@@ -142,6 +142,42 @@ class TestExtractFlow:
         got = batch["flow_img"].astype(np.float32)
         assert np.mean(np.abs(got - want)) < 4.0  # jpeg-loss band (codes)
 
+    def test_cv2_writer_channel_order_and_codec_parity(self, tmp_path):
+        """The jpg/png writer goes through cv2 when available (dense_flow
+        writes via cv::imwrite — byte-level producer parity). Pins:
+        (a) the packed layout's BGR flip is correct — the file decodes
+        back as RGB (x, y, pad) regardless of reader; (b) cv2- and
+        PIL-encoded JPEGs of the same smooth flow field agree within a
+        small code band, so consumers fed either producer see the same
+        statistics."""
+        cv2 = pytest.importorskip("cv2")
+        from PIL import Image
+
+        from gaze_tpu.data.flow_extract import _save_gray, _save_packed
+
+        # Smooth field (flow-like): tight codec loss bounds.
+        yy, xx = np.mgrid[0:24, 0:32].astype(np.float32)
+        fx = (128 + 40 * np.sin(xx / 8.0)).astype(np.uint8)
+        fy = (128 - 30 * np.cos(yy / 6.0)).astype(np.uint8)
+
+        pk = str(tmp_path / "packed.png")  # lossless: exact order check
+        _save_packed(np.stack([fx, fy], -1), pk, quality=95)
+        rgb = np.asarray(Image.open(pk).convert("RGB"))
+        np.testing.assert_array_equal(rgb[..., 0], fx)
+        np.testing.assert_array_equal(rgb[..., 1], fy)
+        np.testing.assert_array_equal(rgb[..., 2], 128)
+
+        pj = str(tmp_path / "g_cv2.jpg")
+        _save_gray(fx, pj, quality=95)
+        back = cv2.imread(pj, cv2.IMREAD_GRAYSCALE)
+        assert np.abs(back.astype(np.int16) - fx.astype(np.int16)).mean() < 2.0
+
+        pp = str(tmp_path / "g_pil.jpg")
+        Image.fromarray(fx, mode="L").save(pp, quality=95)
+        a = np.asarray(Image.open(pj).convert("L"), np.int16)
+        b = np.asarray(Image.open(pp).convert("L"), np.int16)
+        assert np.abs(a - b).mean() < 2.0  # cross-encoder delta band
+
     def test_requires_data_root(self):
         with pytest.raises(ValueError, match="data_root"):
             cli.main(["--extract_flow"])

@@ -50,3 +50,17 @@ class TestNativeIO:
         a = decode_batch(jpegs, threads=1)
         b = decode_batch(jpegs, threads=8)
         np.testing.assert_array_equal(a, b)
+
+    def test_matches_cv2(self, jpegs):
+        """Independent cross-check against OpenCV's decoder (the codec
+        dense_flow-era tooling used): libjpeg IDCT implementations may
+        legitimately differ by a level or two, so pin a tight bound
+        rather than exact equality (PIL-exactness is pinned above)."""
+        cv2 = pytest.importorskip("cv2")
+        out = decode_batch(jpegs)
+        ref = np.stack(
+            [cv2.imread(p, cv2.IMREAD_COLOR)[..., ::-1] for p in jpegs]
+        )
+        assert out.shape == ref.shape
+        diff = np.abs(out.astype(np.int16) - ref.astype(np.int16))
+        assert diff.max() <= 2, f"native vs cv2 decode differs by {diff.max()}"
