@@ -198,6 +198,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "behavior) or edge (replicate — removes the "
                         "constant-corner argmax artifact zero padding can "
                         "learn on weak-response data; see LFConfig)")
+    p.add_argument("--lf_residual", action="store_true",
+                   help="residual late fusion: the LF stack predicts a "
+                        "logit-space correction to the SP saliency map "
+                        "and its final conv starts at zero, so a fresh "
+                        "head begins exactly at the saliency baseline "
+                        "(LFConfig.residual; off = parity behavior)")
     p.add_argument("--augment_flip", action="store_true",
                    help="per-sample horizontal-flip augmentation in the "
                         "SP/QAT train steps (gaze mirrored; flow solved "
@@ -363,7 +369,9 @@ def make_config(args) -> PipelineConfig:
         camera=cam,
         tvl1=tvl1,
         lf=dataclasses.replace(
-            base.lf, padding=getattr(args, "lf_padding", "zero")
+            base.lf,
+            padding=getattr(args, "lf_padding", "zero"),
+            residual=getattr(args, "lf_residual", False),
         ),
         train=dataclasses.replace(
             base.train,

@@ -127,6 +127,17 @@ class LFConfig:
     # corpus (docs/STATUS.md). "edge" = replicate padding: the border
     # sees extrapolated map values and can't manufacture an artifact.
     padding: str = "zero"
+    # Residual fusion (beyond-reference, off for parity): the conv stack
+    # predicts a LOGIT-space correction to the SP saliency channel —
+    # sigmoid(logit(sal) + stack(maps)) — and the final conv kernel is
+    # zero-initialized, so a fresh LF head starts EXACTLY at the
+    # saliency map and training can only move off that baseline where
+    # the attention channel helps. Motivated by the task-cycle ablation
+    # (docs/STATUS_r3.md): the plain stack converges to 14.03° AAE vs
+    # the saliency head's 13.59° because it must re-learn the saliency
+    # identity from random init before it can refine it. Parameter
+    # shapes are unchanged (checkpoints interchangeable; behavior not).
+    residual: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -54,6 +54,19 @@ class LateFusion(nn.Module):
             padding=0 if edge else 1,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            # Residual mode zero-inits the kernel so the whole stack's
+            # initial contribution is exactly zero (LFConfig.residual).
+            kernel_init=(nn.initializers.zeros if self.cfg.residual
+                         else nn.linear.default_kernel_init),
             name="out_conv",
         )(pad(x) if edge else x)
-        return nn.sigmoid(x.astype(jnp.float32))[..., 0]
+        logits = x.astype(jnp.float32)[..., 0]
+        if self.cfg.residual:
+            # The stack predicts a logit-space correction to the SP
+            # saliency channel; at init (zero out_conv) the head IS the
+            # saliency map (up to the numerical clip), so training
+            # starts from the stronger single-head baseline instead of
+            # re-learning it from random init.
+            sal = jnp.clip(maps[..., 0].astype(jnp.float32), 1e-6, 1 - 1e-6)
+            logits = logits + jnp.log(sal) - jnp.log1p(-sal)
+        return nn.sigmoid(logits)
