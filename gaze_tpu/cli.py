@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaze_tpu.core.checkpoint import (
+    has_checkpoint,
     restore_best_or_latest,
     restore_checkpoint,
     save_best_checkpoint,
@@ -1106,6 +1107,22 @@ def main(argv: Optional[List[str]] = None) -> None:
     sp_vars = at_vars = None
     lf_state = None
 
+    def restore_trained(module: str, directory: str, template):
+        # restore_best_or_latest, but LOUD when nothing exists: consumer
+        # stages (--eval/--infer/--export_torch/--extract_late, later
+        # trainers) silently scoring random-init weights is the classic
+        # checkpoint-dir-typo footgun — the reference hard-fails on a
+        # missing .pth.tar; Orbax's template fallback is quieter.
+        if not has_checkpoint(directory):
+            print(
+                f"warning: no {module} checkpoint under {directory!r} — "
+                f"continuing from random init (train the stage first or "
+                f"pass --{module}_ckpt)",
+                file=sys.stderr,
+            )
+            return template
+        return restore_best_or_latest(directory, template)
+
     # Flow extraction runs first: it is the reference's offline
     # preprocessing stage, and training stages in the same invocation
     # then auto-detect the freshly written flows/ (--precomputed_flow).
@@ -1117,8 +1134,8 @@ def main(argv: Optional[List[str]] = None) -> None:
             or args.extract_late or args.export_torch or args.infer):
         if sp_vars is None:
             state = create_sp_state(rng, pipeline)
-            state = restore_best_or_latest(
-                args.sp_ckpt or os.path.join(args.save_dir, "sp"), state
+            state = restore_trained(
+                "sp", args.sp_ckpt or os.path.join(args.save_dir, "sp"), state
             )
             sp_vars = {"params": state.params, "batch_stats": state.batch_stats}
     # QAT scales travel with the checkpoint that trained against them:
@@ -1139,8 +1156,8 @@ def main(argv: Optional[List[str]] = None) -> None:
             or args.infer):
         if at_vars is None:
             state = create_at_state(rng, pipeline)
-            state = restore_best_or_latest(
-                args.at_ckpt or os.path.join(args.save_dir, "at"), state
+            state = restore_trained(
+                "at", args.at_ckpt or os.path.join(args.save_dir, "at"), state
             )
             at_vars = {"params": state.params}
     # quant_sp applies to EVAL/EXTRACTION only; training stages keep the
@@ -1197,8 +1214,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     if args.eval or args.export_torch or args.infer:
         if lf_state is None:
             state = create_lf_state(rng, pipeline)
-            lf_state = restore_best_or_latest(
-                args.lf_ckpt or os.path.join(args.save_dir, "lf"), state
+            lf_state = restore_trained(
+                "lf", args.lf_ckpt or os.path.join(args.save_dir, "lf"), state
             )
     if args.eval:
         run_eval(args, cfg, eval_pipeline, sp_vars, at_vars, lf_state, mesh=mesh)

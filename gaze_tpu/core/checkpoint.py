@@ -106,6 +106,15 @@ def save_best_checkpoint(
     return True
 
 
+def has_checkpoint(directory: str) -> bool:
+    """True when ``restore_best_or_latest(directory, ...)`` would restore
+    anything (a tracked-best or a periodic step exists)."""
+    return (
+        latest_step(_best_dir(directory)) is not None
+        or latest_step(directory) is not None
+    )
+
+
 def restore_best_or_latest(directory: str, template: Any) -> Any:
     """Restore the best-validation checkpoint when one was tracked,
     falling back to the latest periodic save (then to the template)."""

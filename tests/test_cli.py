@@ -50,13 +50,25 @@ class TestCLIStages:
         for stage in ("sp", "at", "lf"):
             assert os.path.isdir(os.path.join(save_dir, stage + "_best")), stage
 
-    def test_eval_from_checkpoints(self, save_dir):
+    def test_eval_from_checkpoints(self, save_dir, capsys):
         run_cli(
             ["--train_sp", "--train_lstm", "--train_late",
              "--save_dir", save_dir] + ARGS_COMMON
         )
         # fresh invocation restoring all three stages from disk
         run_cli(["--eval", "--save_dir", save_dir] + ARGS_COMMON)
+        # real checkpoints restored -> no random-init warning
+        assert "random init" not in capsys.readouterr().err
+
+    def test_eval_without_checkpoints_warns(self, save_dir, capsys):
+        """--eval on an empty save_dir still runs (template fallback) but
+        says so per module — silently scoring random-init weights is the
+        checkpoint-dir-typo footgun (the reference hard-fails on a
+        missing .pth.tar)."""
+        run_cli(["--eval", "--save_dir", save_dir] + ARGS_COMMON)
+        err = capsys.readouterr().err
+        for module in ("sp", "at", "lf"):
+            assert f"no {module} checkpoint" in err, err
 
     def test_eval_decoder_impls(self, save_dir, capsys):
         """--decoder {pixelshuffle,halfres} drive the alternative SP
