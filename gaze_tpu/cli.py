@@ -32,7 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaze_tpu.core.checkpoint import (
-    has_checkpoint,
     restore_best_or_latest,
     restore_checkpoint,
     save_best_checkpoint,
@@ -1113,15 +1112,17 @@ def main(argv: Optional[List[str]] = None) -> None:
         # trainers) silently scoring random-init weights is the classic
         # checkpoint-dir-typo footgun — the reference hard-fails on a
         # missing .pth.tar; Orbax's template fallback is quieter.
-        if not has_checkpoint(directory):
+        state, restored = restore_best_or_latest(
+            directory, template, report=True
+        )
+        if not restored:
             print(
                 f"warning: no {module} checkpoint under {directory!r} — "
                 f"continuing from random init (train the stage first or "
                 f"pass --{module}_ckpt)",
                 file=sys.stderr,
             )
-            return template
-        return restore_best_or_latest(directory, template)
+        return state
 
     # Flow extraction runs first: it is the reference's offline
     # preprocessing stage, and training stages in the same invocation

@@ -106,22 +106,22 @@ def save_best_checkpoint(
     return True
 
 
-def has_checkpoint(directory: str) -> bool:
-    """True when ``restore_best_or_latest(directory, ...)`` would restore
-    anything (a tracked-best or a periodic step exists)."""
-    return (
-        latest_step(_best_dir(directory)) is not None
-        or latest_step(directory) is not None
-    )
-
-
-def restore_best_or_latest(directory: str, template: Any) -> Any:
+def restore_best_or_latest(directory: str, template: Any, *,
+                           report: bool = False) -> Any:
     """Restore the best-validation checkpoint when one was tracked,
-    falling back to the latest periodic save (then to the template)."""
-    bd = _best_dir(directory)
-    if latest_step(bd) is not None:
-        return restore_checkpoint(bd, template)
-    return restore_checkpoint(directory, template)
+    falling back to the latest periodic save (then to the template).
+
+    With ``report=True`` returns ``(state, restored)`` so callers can
+    warn on the template-fallback path without a second directory scan
+    (each ``latest_step`` probe builds an Orbax manager — possibly over
+    cold NFS)."""
+    state, restored = template, False
+    for d in (_best_dir(directory), directory):
+        step = latest_step(d)
+        if step is not None:
+            state, restored = restore_checkpoint(d, template, step), True
+            break
+    return (state, restored) if report else state
 
 
 def restore_checkpoint(directory: str, template: Any, step: Optional[int] = None) -> Any:

@@ -13,10 +13,15 @@ early slot matters twice over in this image:
    wall per executable, even trivial ones); pure-local CPU compiles are
    milliseconds.
 
-So: if the axon sitecustomize is on PYTHONPATH, re-exec pytest once with
-a clean environment (no axon path, JAX_PLATFORMS=cpu, 8 CPU devices),
-guarded by a sentinel. Re-exec here is safe — fd1 is still the real
-terminal.
+So: if the axon sitecustomize is on PYTHONPATH — or the process would
+otherwise come up without the 8 virtual CPU devices the sharding tests
+need — re-exec pytest once with a clean environment, guarded by a
+sentinel. Re-exec here is safe — fd1 is still the real terminal.
+
+``sanitized_cpu_env`` / ``needs_cpu_reexec`` are shared with
+``tests/conftest.py`` (the direct-invocation fallback) and the CPU-mesh
+tools (``tools/bench_train_scaling.py``), so the axon quirks live in
+exactly one place.
 """
 
 import os
@@ -25,23 +30,26 @@ import sys
 _SENTINEL = "GAZE_TPU_TEST_REEXEC"
 
 
-def _needs_sanitizing() -> bool:
-    if os.environ.get(_SENTINEL) == "1":
+def needs_cpu_reexec(sentinel: str = _SENTINEL, n_devices: int = 8) -> bool:
+    """True when the current process should re-exec into a sanitized
+    CPU environment: the axon sitecustomize is active, JAX is pointed at
+    a non-CPU platform, or the virtual CPU device count isn't pinned to
+    ``n_devices`` (a clean machine still needs the 8-device mesh)."""
+    if os.environ.get(sentinel) == "1":
         return False
-    if os.environ.get("GAZE_TPU_HW_TESTS") == "1":
-        # On-hardware mode: keep the TPU backend so the `tpu`-marked
-        # compiled-kernel tests (tests/test_tpu_kernels.py) can run.
-        return False
-    pythonpath = os.environ.get("PYTHONPATH", "")
-    return ".axon_site" in pythonpath or os.environ.get("JAX_PLATFORMS", "") not in (
-        "cpu",
-        "",
+    return (
+        ".axon_site" in os.environ.get("PYTHONPATH", "")
+        or os.environ.get("JAX_PLATFORMS", "") not in ("cpu", "")
+        or os.environ.get("JAX_NUM_CPU_DEVICES") != str(n_devices)
     )
 
 
-if _needs_sanitizing():
+def sanitized_cpu_env(sentinel: str = _SENTINEL, n_devices: int = 8) -> dict:
+    """A copy of ``os.environ`` scrubbed of the axon TPU path and pinned
+    to ``n_devices`` local CPU devices, with the repo root on PYTHONPATH
+    and ``sentinel`` set so the re-exec happens at most once."""
     env = dict(os.environ)
-    env[_SENTINEL] = "1"
+    env[sentinel] = "1"
     parts = [
         p
         for p in env.get("PYTHONPATH", "").split(os.pathsep)
@@ -52,5 +60,21 @@ if _needs_sanitizing():
         parts.insert(0, repo_root)
     env["PYTHONPATH"] = os.pathsep.join(parts)
     env["JAX_PLATFORMS"] = "cpu"
-    env["JAX_NUM_CPU_DEVICES"] = "8"
-    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+    env["JAX_NUM_CPU_DEVICES"] = str(n_devices)
+    return env
+
+
+def _needs_sanitizing() -> bool:
+    if os.environ.get("GAZE_TPU_HW_TESTS") == "1":
+        # On-hardware mode: keep the TPU backend so the `tpu`-marked
+        # compiled-kernel tests (tests/test_tpu_kernels.py) can run.
+        return False
+    return needs_cpu_reexec()
+
+
+if _needs_sanitizing():
+    os.execve(
+        sys.executable,
+        [sys.executable, "-m", "pytest"] + sys.argv[1:],
+        sanitized_cpu_env(),
+    )

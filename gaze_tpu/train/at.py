@@ -116,16 +116,21 @@ def make_at_stateful_eval(pipeline: GazePipeline):
         H = pipeline.config.at.hidden_size
         cc = jnp.zeros((lanes, L, H), jnp.float32)
         ch = jnp.zeros((lanes, L, H), jnp.float32)
-        tot = cnt = 0.0
+        # Accumulate on-device and pull ONE scalar after the loop: the
+        # carry chain already pipelines the window dispatches, and a
+        # per-window float() would pay a full relay round-trip each
+        # window (CLAUDE.md sync-amortization rule).
+        tot = jnp.zeros((), jnp.float32)
+        cnt = jnp.zeros((), jnp.float32)
         for sched in schedule:
             cc, ch, e, c = window_mse(
                 params, cc, ch,
                 jnp.asarray(sched["inputs"]), jnp.asarray(sched["targets"]),
                 jnp.asarray(sched["mask"]), jnp.asarray(sched["reset"]),
             )
-            tot += float(e)
-            cnt += float(c)
-        return tot / max(cnt, 1e-8)
+            tot = tot + e
+            cnt = cnt + c
+        return float(tot) / max(float(cnt), 1e-8)
 
     return evaluate
 

@@ -11,26 +11,16 @@ be swallowed by pytest's capture in that path, but results are correct.
 import os
 import sys
 
-_SENTINEL = "GAZE_TPU_TEST_REEXEC"
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
-if (
-    os.environ.get(_SENTINEL) != "1"
-    and os.environ.get("GAZE_TPU_HW_TESTS") != "1"
-    and ".axon_site" in os.environ.get("PYTHONPATH", "")
-):
-    env = dict(os.environ)
-    env[_SENTINEL] = "1"
-    parts = [
-        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-        if p and ".axon_site" not in p
-    ]
-    repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
-    if repo_root not in parts:
-        parts.insert(0, repo_root)
-    env["PYTHONPATH"] = os.pathsep.join(parts)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["JAX_NUM_CPU_DEVICES"] = "8"
-    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+from gaze_tpu.testenv import needs_cpu_reexec, sanitized_cpu_env  # noqa: E402
+
+if os.environ.get("GAZE_TPU_HW_TESTS") != "1" and needs_cpu_reexec():
+    os.execve(
+        sys.executable,
+        [sys.executable, "-m", "pytest"] + sys.argv[1:],
+        sanitized_cpu_env(),
+    )
 
 import jax  # noqa: E402
 

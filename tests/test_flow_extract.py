@@ -104,6 +104,42 @@ class TestExtractFlow:
         # move the x channel away from a constant-128 image.
         assert q.dtype == np.uint8 and q[..., 0].std() > 0
 
+    def test_pil_fallback_writer(self, tmp_path, monkeypatch):
+        """cv2 is installed in this image, so the PIL branch of _imwrite
+        (the cv2-less deployment path, incl. its ndim-3 RGB handling)
+        never runs in CI unless forced: monkeypatch _cv2 away and check
+        both layouts still produce files that decode to the same values
+        the cv2 writer produces (png = lossless, exact)."""
+        import gaze_tpu.data.flow_extract as fx
+        from gaze_tpu.data.flow_extract import FlowExtractSpec
+        from gaze_tpu.data.gtea import _decode_flow_images
+
+        root = _make_layout(tmp_path, videos=("Dana_Tea",), frames=3)
+        spec = FlowExtractSpec(tvl1=_TINY, bound=15.0, fmt="png",
+                               batch_size=4)
+        packed = FlowExtractSpec(tvl1=_TINY, bound=15.0, layout="packed",
+                                 fmt="png", batch_size=4)
+        # reference values via the default (cv2) writer
+        assert fx.extract_flow_images(root, spec, verbose=False) == 2
+        want = _decode_flow_images(
+            build_manifest(root, native_hw=(24, 32)).frames["Dana_Tea"][1:]
+        )
+        import shutil
+
+        shutil.rmtree(os.path.join(root, "flows"))
+        monkeypatch.setattr(fx, "_cv2", lambda: None)
+        assert fx.extract_flow_images(root, spec, verbose=False) == 2
+        got = _decode_flow_images(
+            build_manifest(root, native_hw=(24, 32)).frames["Dana_Tea"][1:]
+        )
+        np.testing.assert_array_equal(got, want)  # gray (ndim-2) writes
+        shutil.rmtree(os.path.join(root, "flows"))
+        assert fx.extract_flow_images(root, packed, verbose=False) == 2
+        got_p = _decode_flow_images(
+            build_manifest(root, native_hw=(24, 32)).frames["Dana_Tea"][1:]
+        )
+        np.testing.assert_array_equal(got_p, want)  # packed RGB (ndim-3)
+
     def test_cli_jpg_extraction_feeds_precomputed_flow(self, tmp_path):
         """The CLI stage end to end: --extract_flow writes dense_flow's
         jpg layout, pair_batches then auto-detects it and yields flow_img

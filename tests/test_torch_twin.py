@@ -148,6 +148,64 @@ class TestTwinAgreement:
         assert np.abs(amaps[4] - amaps[0]).max() > 1e-4
 
 
+class TestTwinResidualLF:
+    def test_residual_mode_matches(self, setup):
+        """LFConfig.residual changes the fusion semantics (logit-space
+        correction to the saliency channel, models/lf.py); the twin must
+        reproduce it — non-vacuously: the zero out_conv is re-randomized
+        so the stack's correction is actually nonzero."""
+        import dataclasses
+
+        cfg, _, variables, _, frames, _, flow, _ = setup
+        cfg_r = dataclasses.replace(
+            cfg, lf=dataclasses.replace(cfg.lf, residual=True)
+        )
+        pipeline = GazePipeline(cfg_r)
+        var_r = dict(variables)
+        lf_vars = pipeline.lf.init(
+            jax.random.key(9), jnp.zeros((1, cfg.image.height,
+                                          cfg.image.width, 2), jnp.float32)
+        )
+        rng = np.random.default_rng(11)
+        var_r["lf"] = jax.tree.map(
+            lambda x: jnp.asarray(
+                rng.normal(0, 0.5, x.shape).astype(np.float32)
+            ),
+            lf_vars,
+        )
+        state = pipeline.init_state(1)
+        jax_outs = []
+        for t in range(1, T):
+            state, out = pipeline.step(
+                var_r, state,
+                jnp.asarray(frames[t - 1][None]), jnp.asarray(frames[t][None]),
+                jnp.asarray(FIXSAC[t][None]),
+                flow_img=jnp.asarray(flow[t][None]),
+            )
+            jax_outs.append({k: np.asarray(v) for k, v in out.items()})
+        # non-vacuous: the correction moved the heatmap off the saliency
+        assert max(
+            np.abs(o["heatmap"] - o["saliency"]).max() for o in jax_outs
+        ) > 1e-3
+        bundle = {
+            "sp": sp_to_torch_state(variables["sp"]),
+            "at": at_to_torch_state(variables["at"]),
+            "lf": lf_to_torch_state(var_r["lf"]),
+        }
+        outs = TorchReferenceTwin(bundle, cfg_r).rollout(
+            frames[None], flow[None], FIXSAC[None]
+        )
+        # atol 2e-5 (vs 5e-6 plain): logit(sal) amplifies ~1e-7-relative
+        # torch-vs-XLA saliency differences wherever sal saturates, so the
+        # residual head's float32 agreement is intrinsically a bit looser.
+        for t, (to, jo) in enumerate(zip(outs, jax_outs)):
+            np.testing.assert_allclose(
+                to["heatmap"], jo["heatmap"], atol=2e-5,
+                err_msg=f"residual heatmap frame {t + 1}",
+            )
+            np.testing.assert_array_equal(to["gaze"], jo["gaze"])
+
+
 class TestTwinHasTeeth:
     """A deliberate wrong-convention twin must FAIL the agreement —
     otherwise the harness could not detect a real parity break."""

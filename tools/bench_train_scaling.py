@@ -31,27 +31,28 @@ import os
 import sys
 import time
 
-# Virtual CPU mesh: sanitize the axon TPU env exactly like
+# Virtual CPU mesh: sanitize the axon TPU env via the shared helper in
 # gaze_tpu.testenv (the sitecustomize grabs the TPU at interpreter
-# start, and remote compiles would dominate the timing).
+# start, and remote compiles would dominate the timing). The helper also
+# fires on a CLEAN environment whenever JAX_NUM_CPU_DEVICES isn't pinned
+# to 8 — otherwise the dp2/dp4/dp8 rows (the tool's headline output)
+# would silently all report "skipped" on a 1-device default process.
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 _SENTINEL = "GAZE_TPU_SCALING_REEXEC"
-if os.environ.get(_SENTINEL) != "1" and (
-    ".axon_site" in os.environ.get("PYTHONPATH", "")
-    or os.environ.get("JAX_PLATFORMS", "") not in ("cpu", "")
-):
-    env = dict(os.environ)
-    env[_SENTINEL] = "1"
-    parts = [
-        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-        if p and ".axon_site" not in p
-    ]
-    repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
-    if repo_root not in parts:
-        parts.insert(0, repo_root)
-    env["PYTHONPATH"] = os.pathsep.join(parts)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["JAX_NUM_CPU_DEVICES"] = "8"
-    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+def _reexec_helpers():
+    # Deferred import so the testenv module's own plugin-mode re-exec
+    # logic (sentinel'd separately) can't fire from this import.
+    os.environ.setdefault("GAZE_TPU_TEST_REEXEC", "1")
+    from gaze_tpu.testenv import needs_cpu_reexec, sanitized_cpu_env
+
+    return needs_cpu_reexec, sanitized_cpu_env
+
+
+_needs, _env = _reexec_helpers()
+if _needs(_SENTINEL):
+    os.execve(sys.executable, [sys.executable] + sys.argv, _env(_SENTINEL))
 
 import numpy as np  # noqa: E402
 

@@ -248,7 +248,14 @@ class TorchReferenceTwin:
             x = F.relu(F.conv2d(x, sd[f"conv{i}.weight"], sd[f"conv{i}.bias"],
                                 padding=1))
         x = F.conv2d(x, sd["out_conv.weight"], sd["out_conv.bias"], padding=1)
-        return torch.sigmoid(x)[:, 0].numpy()
+        logits = x[:, 0]
+        if self.cfg.lf.residual:
+            # Residual fusion (models/lf.py LFConfig.residual): the stack
+            # is a logit-space correction to the saliency channel, same
+            # clip constant as the JAX side.
+            s = torch.clamp(_t(sal), 1e-6, 1 - 1e-6)
+            logits = logits + torch.log(s) - torch.log1p(-s)
+        return torch.sigmoid(logits).numpy()
 
     # ----------------------------------------------------------- rollout ----
     def init_state(self, batch: int) -> Dict[str, Any]:
@@ -390,11 +397,26 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=7)
     args = p.parse_args()
 
-    cfg = golden_tiny_parity_config()
-    if args.size != 32:
-        from gaze_tpu.core.config import parity_config
+    if args.size == 32:
+        cfg = golden_tiny_parity_config()
+    else:
+        # Honor the requested resolution (GT sigma scales with it) so the
+        # hand-run comparison matches a JAX side configured the same way.
+        import dataclasses
+
+        from gaze_tpu.core.config import ImageConfig, parity_config
 
         cfg = parity_config()
+        if args.size != cfg.image.height:
+            cfg = dataclasses.replace(
+                cfg,
+                image=ImageConfig(
+                    height=args.size,
+                    width=args.size,
+                    heatmap_sigma=cfg.image.heatmap_sigma
+                    * args.size / cfg.image.height,
+                ),
+            )
     twin = TorchReferenceTwin(load_bundle(args.export), cfg)
     frames, gaze, fixsac = generate_sequence(
         SyntheticSpec(num_frames=args.frames, height=cfg.image.height,
