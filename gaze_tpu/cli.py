@@ -985,7 +985,8 @@ def run_infer(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> str:
     one-frame inference loop packaged as a command.
 
     L0 ingestion (ffmpeg when present, else the pure-Python MJPEG-AVI
-    demuxer in data/video.py) → streaming sequential rollout through
+    demuxer, else cv2/avcodec for MP4/H.264/XVID — data/video.py) →
+    streaming sequential rollout through
     StreamServer (LSTM state carried across the whole video, fixation
     onsets from online I-DT on the model's own predicted gaze — no eye
     tracker at inference) → ``<out>.txt`` with one "x y" row per frame

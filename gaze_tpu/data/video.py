@@ -6,18 +6,23 @@ TPUs have no video decoder, so this stays a host-side step by design
 (BASELINE.json: "decode itself stays on host"); this module wraps it so
 the framework covers the whole reference workflow from raw video.
 
-Two ingestion paths:
+Three ingestion paths, tried in order by ``extract_frames``:
 
 - ``ffmpeg`` on PATH (any codec — the reference's own requirement);
 - a pure-Python MJPEG-AVI demuxer (``extract_frames_mjpeg_avi``): MJPEG
   AVI stores each frame as a complete JPEG inside RIFF ``00dc`` chunks,
-  so "decoding" is container parsing — the JPEG payloads go straight to
-  disk in the ``images/<video>/`` layout and the existing libjpeg/PIL
-  decoders take it from there. This keeps L0 executable on hosts (like
-  this build image) that ship no ffmpeg binary.
+  so "decoding" is container parsing — the JPEG payloads are
+  stream-copied to disk losslessly in the ``images/<video>/`` layout
+  and the existing libjpeg/PIL decoders take it from there;
+- OpenCV's ``VideoCapture`` (``extract_frames_cv2``): this image's cv2
+  is built against FFmpeg's avcodec, so MP4/H.264, MPEG-4, XVID, MOV,
+  MKV — the containers real GTEA-style recordings actually ship in —
+  decode with no external binary. Frames are re-encoded to JPEG like
+  ffmpeg's ``-q:v`` path, and ``fps`` resampling mirrors ffmpeg's
+  dup/drop ``fps=`` filter.
 
-``extract_frames`` prefers ffmpeg and falls back to the MJPEG path when
-the binary is absent and the input is an MJPEG AVI.
+This keeps L0 executable end to end on hosts (like this build image)
+that ship no ffmpeg binary.
 """
 
 from __future__ import annotations
@@ -150,6 +155,104 @@ def ffmpeg_path() -> Optional[str]:
     return shutil.which("ffmpeg")
 
 
+def _cv2():
+    """cv2 if importable, else None (kept a hookable module attribute so
+    tests can exercise the cv2-less deployment path)."""
+    try:
+        import cv2  # noqa: PLC0415
+
+        return cv2
+    except ImportError:
+        return None
+
+
+class VideoDecodeError(RuntimeError):
+    pass
+
+
+def extract_frames_cv2(
+    video_path: str,
+    out_dir: str,
+    fps: Optional[float] = None,
+    quality: int = 2,
+    pattern: str = "%06d.jpg",
+) -> int:
+    """Decode a video through OpenCV's FFmpeg-backed ``VideoCapture``
+    and write JPEG frames (1-based, ffmpeg-compatible numbering).
+
+    Covers every codec/container this cv2 build's avcodec decodes —
+    H.264/MP4 in particular (the common real-recording case the
+    reference handles via the ffmpeg binary). ``fps`` resampling
+    reproduces ffmpeg's ``fps=`` filter semantics (dup/drop against a
+    virtual output clock). ``quality`` is ffmpeg's ``-q:v`` qscale
+    (2 = high); it is mapped onto the JPEG quality scale.
+
+    Returns the number of frames written; raises VideoDecodeError when
+    cv2 is unavailable or cannot open/decode the input.
+    """
+    cv2 = _cv2()
+    if cv2 is None:
+        raise VideoDecodeError("OpenCV (cv2) is not installed")
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise VideoDecodeError(
+            f"{video_path}: cv2.VideoCapture could not open it "
+            "(missing file or codec unsupported by this FFmpeg build)"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    # ffmpeg qscale 2..31 (best..worst) → JPEG quality ~95..8.
+    jpeg_q = int(max(8, min(95, round(101 - 3 * max(quality, 2)))))
+    enc = [int(cv2.IMWRITE_JPEG_QUALITY), jpeg_q]
+    src_fps = cap.get(cv2.CAP_PROP_FPS) or 0.0
+    if src_fps <= 0:
+        src_fps = 30.0  # avcodec sometimes reports 0 for odd containers
+    n = 0
+    next_t = 0.0
+    idx = 0
+
+    def write(frame) -> None:
+        nonlocal n
+        n += 1
+        if not cv2.imwrite(os.path.join(out_dir, pattern % n), frame, enc):
+            raise VideoDecodeError(
+                f"{video_path}: cv2.imwrite failed at frame {n}"
+            )
+
+    frame = None
+    try:
+        while True:
+            ok, frame_i = cap.read()
+            if not ok:
+                break
+            frame = frame_i
+            if fps is None:
+                emit = 1
+            else:
+                # virtual output clock: emit (dup) while the source
+                # timestamp has passed the next output tick, drop when
+                # it hasn't reached it yet — ffmpeg's fps filter.
+                emit = 0
+                t = idx / src_fps
+                while t >= next_t - 1e-9:
+                    emit += 1
+                    next_t += 1.0 / fps
+            for _ in range(emit):
+                write(frame)
+            idx += 1
+        if fps is not None and frame is not None:
+            # EOF flush: the last source frame holds until the stream's
+            # total duration, so upsampling pads trailing output ticks
+            # with dups of it (ffmpeg's fps-filter EOF behavior).
+            while next_t < idx / src_fps - 1e-9:
+                write(frame)
+                next_t += 1.0 / fps
+    finally:
+        cap.release()
+    if n == 0:
+        raise VideoDecodeError(f"{video_path}: decoded zero frames")
+    return n
+
+
 def extract_frames(
     video_path: str,
     out_dir: str,
@@ -174,25 +277,32 @@ def extract_frames(
     """
     exe = ffmpeg_path()
     if exe is None:
-        # Pure-Python fallback: MJPEG AVI demux (native frame rate only —
-        # exactly what the reference pipeline uses so gaze txt rows align
-        # 1:1; frames are stream-copied, so `quality` doesn't apply).
+        # Fallback 1: pure-Python MJPEG AVI demux (native frame rate
+        # only — what the reference pipeline uses so gaze txt rows align
+        # 1:1). Preferred over cv2 for MJPEG AVIs because the JPEG
+        # payloads are stream-copied losslessly instead of re-encoded.
+        if not os.path.exists(video_path):
+            raise FileNotFoundError(video_path)
         if fps is None:
             try:
                 return extract_frames_mjpeg_avi(video_path, out_dir, pattern)
-            except (NotMJPEGAVI, OSError) as e:
-                raise FFmpegNotFound(
-                    "ffmpeg not found on PATH and the pure-Python fallback "
-                    f"only demuxes MJPEG AVI ({e}) — install ffmpeg (the "
-                    "reference pipeline has the same offline dependency) or "
-                    "pre-extract frames into the images/<video>/ layout."
-                ) from e
-        raise FFmpegNotFound(
-            "ffmpeg not found on PATH — install it (the reference pipeline "
-            "has the same offline dependency) or pre-extract frames into "
-            "the images/<video>/ layout (fps resampling requires ffmpeg; "
-            "the MJPEG-AVI fallback is native-rate only)."
-        )
+            except NotMJPEGAVI:
+                pass
+        # Fallback 2: cv2's FFmpeg-backed VideoCapture (any codec this
+        # build's avcodec decodes, fps resampling supported).
+        try:
+            return extract_frames_cv2(
+                video_path, out_dir, fps=fps, quality=quality,
+                pattern=pattern,
+            )
+        except VideoDecodeError as e:
+            raise FFmpegNotFound(
+                "ffmpeg not found on PATH and the built-in fallbacks "
+                f"(pure-Python MJPEG-AVI demux, cv2/avcodec decode) could "
+                f"not ingest this input ({e}) — install ffmpeg (the "
+                "reference pipeline has the same offline dependency) or "
+                "pre-extract frames into the images/<video>/ layout."
+            ) from e
     os.makedirs(out_dir, exist_ok=True)
     cmd = [exe, "-y", "-i", video_path, "-q:v", str(quality)]
     if fps is not None:

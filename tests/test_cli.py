@@ -377,3 +377,37 @@ class TestInferVideo:
             for d in decoded[1:]
         )
         assert hit, "no gaze marker found in overlay frames"
+
+    def test_infer_from_mp4(self, save_dir, tmp_path):
+        """--infer on an MP4 (mp4v/MPEG-4): L0 ingestion rides the
+        cv2/avcodec fallback — the real-recording container the
+        reference needs the ffmpeg binary for."""
+        import pytest
+
+        cv2 = pytest.importorskip("cv2")
+
+        from gaze_tpu.data.synthetic import SyntheticSpec, generate_sequence
+
+        frames, _, _ = generate_sequence(
+            SyntheticSpec(num_frames=5, height=48, width=64, blob_sigma=3.0)
+        )
+        mp4 = str(tmp_path / "clip.mp4")
+        w = cv2.VideoWriter(
+            mp4, cv2.VideoWriter_fourcc(*"mp4v"), 24.0, (64, 48)
+        )
+        assert w.isOpened()
+        for fr in frames:
+            w.write(fr[..., ::-1])  # RGB -> BGR
+        w.release()
+
+        out_txt = str(tmp_path / "gaze.txt")
+        run_cli([
+            "--infer", mp4, "--infer_out", out_txt,
+            "--save_dir", save_dir,
+        ] + ARGS_COMMON)
+        rows = open(out_txt).read().strip().splitlines()
+        assert len(rows) == 5
+        assert rows[0] == "-1 -1"
+        for r in rows[1:]:
+            x, y = (float(v) for v in r.split())
+            assert 0 <= x < 64 and 0 <= y < 48
