@@ -228,3 +228,114 @@ class TestTwinHasTeeth:
             for to, jo in zip(outs, jax_outs)
         )
         assert worst > 1e-5, f"flip {flip} did not break agreement ({worst})"
+
+
+class TestQuantTwin:
+    """Independent cross-implementation of the int8-resident VGG stream
+    (the turbo headline's novel math): TorchQuantVGGTwin (float64 torch
+    convs + numpy-f32 epilogue) vs models/quant.quant_vgg_forward (XLA
+    s8xs8->s32 + fused VPU epilogue), same QuantVGG arrays."""
+
+    @staticmethod
+    def _np_bundle(q):
+        g = lambda d: {k: np.asarray(v) for k, v in d.items()}  # noqa: E731
+        return {
+            "kernels": g(q.kernels),
+            "w_scales": g(q.w_scales),
+            "biases": g(q.biases),
+            "act_scales": g(q.act_scales),
+            "col_sums": g(q.col_sums),
+            "stem_kernel": (
+                None if q.stem_kernel is None
+                else np.asarray(q.stem_kernel.astype(jnp.float32))
+            ),
+            "stem_bias": (
+                None if q.stem_bias is None else np.asarray(q.stem_bias)
+            ),
+        }
+
+    @pytest.fixture(scope="class", params=[False, True],
+                    ids=["int8_stem", "bf16_stem"])
+    def qsetup(self, request):
+        from gaze_tpu.models.quant import calibrate_pipeline_sp, quant_vgg_forward
+
+        cfg = golden_tiny_parity_config()
+        pipeline = GazePipeline(cfg)
+        variables = pipeline.init_variables(jax.random.key(3))
+        frames, _, _ = generate_sequence(
+            SyntheticSpec(num_frames=6, height=cfg.image.height,
+                          width=cfg.image.width, seed=11)
+        )
+        pairs = [(frames[t][None], frames[t + 1][None]) for t in range(4)]
+        qsp = calibrate_pipeline_sp(
+            pipeline, variables, pairs, percentile=99.9,
+            bf16_stem=request.param,
+        )
+        # serving-style preprocessed inputs (rgb stream)
+        rgb, fl = jax.jit(pipeline.preprocess_pair)(
+            jnp.asarray(frames[4][None]), jnp.asarray(frames[5][None])
+        )
+        # EAGER reference: per-op XLA semantics (each round/clip/conv its
+        # own executable — no cross-op fusion). The twin pins these op
+        # semantics bit-exactly; whole-chain jit fusion drift is pinned
+        # separately in test_jit_fusion_band.
+        want_s = np.asarray(quant_vgg_forward(qsp.spatial, rgb), np.float32)
+        want_t = np.asarray(quant_vgg_forward(qsp.temporal, fl), np.float32)
+        return qsp, np.asarray(rgb, np.float32), np.asarray(fl, np.float32), \
+            want_s, want_t
+
+    def test_streams_match(self, qsetup):
+        from tools.torch_reference import TorchQuantVGGTwin
+
+        qsp, rgb, fl, want_s, want_t = qsetup
+        for q, x, want, label in (
+            (qsp.spatial, rgb, want_s, "spatial"),
+            (qsp.temporal, fl, want_t, "temporal"),
+        ):
+            got = TorchQuantVGGTwin(self._np_bundle(q)).forward(x)
+            # Measured 0.0 (bit-exact) for both streams and both stem
+            # modes; the 1.5-LSB band only allows a single requant-code
+            # flip if some host's libm/FMA behavior ever differs.
+            lsb = float(
+                np.max(np.asarray(q.act_scales["conv5_3"])
+                       * np.asarray(q.w_scales["conv5_3"]))
+            )
+            err = np.abs(got - want).max()
+            assert err <= 1.5 * lsb, f"{label}: err {err} vs lsb {lsb}"
+            # non-vacuous: features genuinely vary
+            assert want.std() > 0
+
+    def test_jit_fusion_band(self, qsetup):
+        """Whole-chain jit is NOT bit-equal to the eager chain: XLA may
+        contract the epilogue mul+add into an FMA and reassociate
+        fusions, flipping occasional requant codes that then amplify
+        through 13 round() layers. Pin that band (measured ~0.5% of the
+        output scale on CPU) so a real algebra regression — which
+        produces errors orders of magnitude larger, see the teeth
+        thresholds — can't hide behind 'jit is just fuzzy'."""
+        from gaze_tpu.models.quant import quant_vgg_forward
+
+        qsp, rgb, _, want_s, _ = qsetup
+        jitted = np.asarray(
+            jax.jit(quant_vgg_forward)(qsp.spatial, jnp.asarray(rgb)),
+            np.float32,
+        )
+        scale = float(np.abs(want_s).max())
+        assert np.abs(jitted - want_s).max() <= 0.02 * scale
+
+    def test_twin_has_teeth(self, qsetup):
+        """The classic asymmetric-quant bugs must BREAK the agreement:
+        padding with code 0 (real value != 0 on the zp-128 grid) and
+        dropping the zero-point bias correction."""
+        from tools.torch_reference import TorchQuantVGGTwin
+
+        qsp, rgb, _, want_s, _ = qsetup
+        b = self._np_bundle(qsp.spatial)
+        lsb = float(
+            np.max(np.asarray(qsp.spatial.act_scales["conv5_3"])
+                   * np.asarray(qsp.spatial.w_scales["conv5_3"]))
+        )
+        wrong_pad = TorchQuantVGGTwin(b, pad_code=0).forward(rgb)
+        assert np.abs(wrong_pad - want_s).max() > 10 * lsb
+        no_zp = TorchQuantVGGTwin(b, apply_zp_bias=False).forward(rgb)
+        assert np.abs(no_zp - want_s).max() > 10 * lsb

@@ -329,6 +329,148 @@ class TorchReferenceTwin:
         return outs
 
 
+# ----------------------------------------------------- int8 quant twin ----
+class TorchQuantVGGTwin:
+    """Independent torch/numpy re-implementation of the int8-resident
+    VGG stream (models/quant.py ``quant_vgg_forward`` — the math under
+    bench.py's turbo headline).
+
+    The JAX side runs s8×s8→s32 convolutions on the MXU with a fused
+    f32 multiply-add-round-clip epilogue. This twin reproduces those
+    semantics with DIFFERENT machinery so a shared bug cannot hide:
+
+    - integer convolutions run as ``F.conv2d`` in float64 (a 3×3×512
+      int8 accumulation is ≤ ~7.5e7, exact in float64's 53-bit
+      mantissa — bit-equal to the MXU's int32 accumulator);
+    - the epilogue replays the exact JAX dtype discipline in numpy
+      float32: accumulator cast s32→f32 (RNE — NOT exact above 2^24,
+      faithfully reproduced), folded scale ``a = sx*w_scale/sn`` and
+      offset ``c = (b/sn - 128) + 128*col_sum*a`` as single-rounded f32
+      ops, then round-half-even → clip → int8;
+    - the asymmetric interior grid pads with the stored real-zero code
+      -128 and convolves VALID, like the JAX chain;
+    - the optional bf16 stem casts input/kernel through torch.bfloat16
+      (RNE) and accumulates in float64 — the MXU accumulates the same
+      exact products in float32, so stem sums can differ by f32
+      rounding; downstream requant absorbs it to ≤1 LSB.
+
+    Residual tolerance vs JAX is therefore ≤1 requant code wherever a
+    rounding boundary is hit (XLA may contract the epilogue's mul+add
+    into an FMA; the grouped-streams probe measured the same 1-LSB
+    band) — tests/test_torch_twin.py pins that band and proves the twin
+    has teeth (zero-pad-code or dropped zero-point-bias modes break it).
+
+    Bundle: plain numpy dict (no jax import) —
+      {"kernels": {layer: int8 HWIO}, "w_scales"/"biases"/"col_sums":
+       {layer: f32 (O,)}, "act_scales": {layer: f32 ()},
+       "stem_kernel": f32 HWIO of the bf16 values or None,
+       "stem_bias": f32 (O,) or None}
+    """
+
+    _ZP = 128
+
+    def __init__(
+        self,
+        bundle: Dict[str, Any],
+        pad_code: Optional[int] = None,
+        apply_zp_bias: bool = True,
+    ):
+        self.b = bundle
+        self.layers = tuple(
+            f"conv{s + 1}_{i + 1}"
+            for s, stage in enumerate(VGG16_STAGES)
+            for i in range(len(stage))
+        )
+        # wrong-convention knobs for the negative tests
+        self.pad_code = -self._ZP if pad_code is None else pad_code
+        self.apply_zp_bias = apply_zp_bias
+
+    def _conv_int(self, codes: np.ndarray, name: str, zp: int) -> np.ndarray:
+        """Exact integer 3×3 SAME conv on stored int8 codes (NHWC in,
+        NHWC accumulator out), via float64 torch conv."""
+        k = torch.from_numpy(
+            self.b["kernels"][name].astype(np.float64).transpose(3, 2, 0, 1)
+        )
+        x = torch.from_numpy(
+            np.ascontiguousarray(codes.astype(np.float64).transpose(0, 3, 1, 2))
+        )
+        if zp:
+            x = F.pad(x, (1, 1, 1, 1), value=float(self.pad_code))
+            acc = F.conv2d(x, k)
+        else:
+            acc = F.conv2d(x, k, padding=1)
+        return acc.numpy().transpose(0, 2, 3, 1)
+
+    def forward(self, x_nhwc_f32: np.ndarray) -> np.ndarray:
+        """f32 normalized NHWC input → f32 NHWC conv5 features."""
+        b = self.b
+        x = np.asarray(x_nhwc_f32, np.float32)
+        li = 0
+        zp = 0
+        xq = acc = None
+        if b.get("stem_kernel") is None:
+            sx0 = np.float32(b["act_scales"][self.layers[0]])
+            xq = np.clip(np.round(x / sx0), -127, 127).astype(np.int64)
+        for s, stage in enumerate(VGG16_STAGES):
+            for _ in stage:
+                name = self.layers[li]
+                li += 1
+                if li == 1 and b.get("stem_kernel") is not None:
+                    # bf16 stem: round operands through bfloat16 (RNE),
+                    # accumulate exactly in float64.
+                    xb = torch.from_numpy(
+                        np.ascontiguousarray(x.transpose(0, 3, 1, 2))
+                    ).to(torch.bfloat16).double()
+                    kb = torch.from_numpy(
+                        b["stem_kernel"].astype(np.float64).transpose(3, 2, 0, 1)
+                    )
+                    acc = F.conv2d(xb, kb, padding=1).numpy().transpose(
+                        0, 2, 3, 1
+                    ).astype(np.float32)
+                    sn = np.float32(b["act_scales"][self.layers[1]])
+                    cst = b["stem_bias"].astype(np.float32) / sn - np.float32(
+                        self._ZP
+                    )
+                    xq = np.clip(
+                        np.round(acc / sn + cst), -128, 127
+                    ).astype(np.int64)
+                    zp = self._ZP
+                    continue
+                sx = np.float32(b["act_scales"][name])
+                acc = self._conv_int(xq, name, zp).astype(np.float32)
+                zp_bias = (
+                    np.float32(zp) * b["col_sums"][name].astype(np.float32)
+                    if (zp and self.apply_zp_bias)
+                    else np.float32(0.0)
+                )
+                if li < len(self.layers):
+                    sn = np.float32(b["act_scales"][self.layers[li]])
+                    a = (sx * b["w_scales"][name].astype(np.float32)) / sn
+                    c = (
+                        b["biases"][name].astype(np.float32) / sn
+                        - np.float32(self._ZP)
+                    ) + zp_bias * a
+                    xq = np.clip(np.round(acc * a + c), -128, 127).astype(
+                        np.int64
+                    )
+                    zp = self._ZP
+                else:  # conv5_3 dequantizes for the f32/bf16 consumers
+                    sw = sx * b["w_scales"][name].astype(np.float32)
+                    xf = (acc + zp_bias) * sw
+                    xf = np.maximum(
+                        xf + b["biases"][name].astype(np.float32), 0.0
+                    )
+            if s < len(VGG16_STAGES) - 1:
+                t = torch.from_numpy(
+                    xq.astype(np.float32).transpose(0, 3, 1, 2)
+                )
+                xq = (
+                    F.max_pool2d(t, 2, 2).numpy()
+                    .transpose(0, 2, 3, 1).astype(np.int64)
+                )
+        return xf
+
+
 # ------------------------------------------------------- numpy metrics ----
 def heatmap_argmax_np(hm: np.ndarray) -> np.ndarray:
     """(B, H, W) -> (B, 2) (x, y) of the max — first-max tie order, like
