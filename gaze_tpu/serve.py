@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaze_tpu.core.config import PipelineConfig
-from gaze_tpu.models.pipeline import GazePipeline, StreamState, make_step_fn
+from gaze_tpu.models.pipeline import GazePipeline, StreamState
 
 
 class StreamServer:
@@ -43,6 +43,7 @@ class StreamServer:
         at_pool: str = "sp_argmax",
         decoder_impl: str = "deconv",
         quant_conv: str = "xla",
+        mesh=None,
     ):
         """Args (beyond the obvious):
 
@@ -71,6 +72,14 @@ class StreamServer:
         decoder_impl: SP decoder tail — "deconv" (canonical) or
           "pixelshuffle" (exact polyphase serving form,
           models/decode_fast.py).
+        mesh: optional ``jax.sharding.Mesh`` (1-D data mesh,
+          parallel/mesh.make_mesh) — multi-chip serving: the stream pool
+          shards over the mesh's data axis (``max_streams`` must divide
+          evenly), recurrent state stays device-resident SHARDED between
+          ticks, and weights replicate. Each stream is independent, so
+          the per-tick program needs zero cross-chip collectives — the
+          scaling is embarrassingly parallel over ICI-attached chips and
+          per-tick latency stays that of a single chip's shard.
         """
         if fixation_source == "always":
             import warnings
@@ -89,16 +98,57 @@ class StreamServer:
             config, dtype=dtype, quant_sp=quant_sp, at_pool=at_pool,
             decoder_impl=decoder_impl, quant_conv=quant_conv,
         )
+        self.mesh = mesh
+        self._bsh = self._rep = None
+        if mesh is not None:
+            from gaze_tpu.parallel.mesh import batch_sharding, replicated
+
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            if max_streams % n_dev:
+                raise ValueError(
+                    f"max_streams={max_streams} must divide evenly over the "
+                    f"{n_dev}-device mesh (static per-device shard shapes)"
+                )
+            self._bsh, self._rep = batch_sharding(mesh), replicated(mesh)
+            variables = jax.device_put(variables, self._rep)
         self.variables = variables
         self.max_streams = max_streams
         self.keep_heatmaps = keep_heatmaps
         self.fixation_source = fixation_source
         self._idt_dispersion = idt_dispersion_px
         self._idt_window = idt_window
-        self._step = make_step_fn(self.pipeline)
+
+        # One fused per-tick program: pipeline step + the first-frame
+        # state revert (streams without a previous frame keep their
+        # fresh state — their first pair's flow is garbage). Merging
+        # inside the jit saves a round of eager dispatches per tick and,
+        # under a mesh, keeps every tensor batch-sharded end to end.
+        # State is deliberately NOT donated: tick() still holds the
+        # pre-step state as an operand alias on the host side.
+        pstep = self.pipeline.step
+
+        def _fused(variables, state, prev_u8, cur_u8, fixation, first):
+            new_state, out = pstep(variables, state, prev_u8, cur_u8, fixation)
+
+            def keep_old(new, old):
+                m = first.reshape((-1,) + (1,) * (new.ndim - 1))
+                return jnp.where(m, old, new)
+
+            merged = jax.tree_util.tree_map(keep_old, new_state, state)
+            return merged, out
+
+        if mesh is None:
+            self._step = jax.jit(_fused)
+        else:
+            bsh, rep = self._bsh, self._rep
+            self._step = jax.jit(
+                _fused,
+                in_shardings=(rep, bsh, bsh, bsh, bsh, bsh),
+                out_shardings=(bsh, bsh),
+            )
         h, w = config.image.height, config.image.width
-        self._state = self.pipeline.init_state(max_streams)
-        self._prev = jnp.zeros((max_streams, h, w, 3), jnp.uint8)
+        self._state = self._put(self.pipeline.init_state(max_streams))
+        self._prev = self._put(jnp.zeros((max_streams, h, w, 3), jnp.uint8))
         self._active = np.zeros((max_streams,), bool)
         self._seen_first = np.zeros((max_streams,), bool)
         # Trailing predicted-gaze window for online I-DT (NaN = no sample).
@@ -106,6 +156,12 @@ class StreamServer:
         # submit() pipeline: the frame whose H2D is in flight + its bits.
         self._pending = None
         self._pending_fix = None
+
+    def _put(self, tree):
+        """Device-put a (batch-leading) pytree, sharded when meshed."""
+        if self._bsh is None:
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+        return jax.device_put(tree, self._bsh)
 
     # ------------------------------------------------------- control ----
     def attach(self, slot: int) -> None:
@@ -144,6 +200,11 @@ class StreamServer:
             return cur.at[slot : slot + 1].set(new)
 
         self._state = jax.tree_util.tree_map(put, self._state, fresh)
+        if self._bsh is not None:
+            # The eager slot update leaves XLA-chosen shardings; pin the
+            # state back to the batch sharding the tick program expects
+            # (attach/detach is rare — reshard cost is off the hot path).
+            self._state = jax.device_put(self._state, self._bsh)
 
     # ---------------------------------------------------------- tick ----
     def tick(
@@ -169,26 +230,23 @@ class StreamServer:
                 fixations = self._idt_labels()
             else:  # "static" — static-attention mode (one LSTM onset ever)
                 fixations = np.ones((self.max_streams,), np.float32)
-        cur = jnp.asarray(frames)
-        fix = jnp.asarray(fixations, jnp.float32) * jnp.asarray(
-            self._active, jnp.float32
+        cur = self._put(frames)
+        fix = self._put(
+            np.asarray(fixations, np.float32)
+            * np.asarray(self._active, np.float32)
         )
-
-        new_state, out = self._step(self.variables, self._state, self._prev, cur, fix)
-
         # Streams without a previous frame keep their fresh state — the
-        # flow for their first pair is garbage (prev is zeros).
-        first = jnp.asarray(~self._seen_first & self._active)
-
-        def keep_old(new, old):
-            m = first.reshape((-1,) + (1,) * (new.ndim - 1))
-            return jnp.where(m, old, new)
-
-        self._state = jax.tree_util.tree_map(keep_old, new_state, self._state)
+        # flow for their first pair is garbage (prev is zeros); the
+        # revert happens inside the fused step program.
+        first_np = ~self._seen_first & self._active
+        self._state, out = self._step(
+            self.variables, self._state, self._prev, cur, fix,
+            self._put(first_np),
+        )
         self._prev = cur
 
         gaze = np.array(out["gaze"])  # owned copy (np.asarray is read-only)
-        gaze[np.asarray(first)] = -1.0
+        gaze[first_np] = -1.0
         gaze[~self._active] = -1.0
         self._seen_first |= self._active
 
@@ -217,7 +275,7 @@ class StreamServer:
         behind the previous frame's step, which is how a production host
         keeps PCIe and the chip busy simultaneously.
         """
-        new_dev = jax.device_put(jnp.asarray(frames))  # async H2D
+        new_dev = self._put(frames)  # async H2D (sharded when meshed)
         result = None
         if self._pending is not None:
             result = self.tick(self._pending, self._pending_fix)
