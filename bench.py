@@ -52,6 +52,26 @@ def _stream_seqs(batch: int, num_frames: int, image_size: int):
     return G, seqs
 
 
+# Named configurations (module docstring). Module-level so tools
+# (tools/roofline.py) analyze exactly the benchmarked settings.
+PRESETS = {
+    # turbo calibrates at the 99.9th |x| percentile: identical fps
+    # to max-calibration and measurably better rollout accuracy on
+    # the trained checkpoints (AAE 1.534 vs 1.591, round-3 table in
+    # docs/STATUS.md) — outliers no longer stretch the int8 grid.
+    "turbo": dict(dtype="bfloat16", flow_scale=0.5, tvl1_warps=3,
+                  tvl1_iters=5, quant=True, quant_percentile=99.9,
+                  quant_stem="bf16", decoder="deconv"),
+    "production": dict(dtype="bfloat16", flow_scale=0.5, tvl1_warps=None,
+                       tvl1_iters=None, quant=False,
+                       quant_percentile=None, quant_stem="int8",
+                       decoder="deconv"),
+    "parity": dict(dtype="float32", flow_scale=1.0, tvl1_warps=None,
+                   tvl1_iters=None, quant=False, quant_percentile=None,
+                   quant_stem="int8", decoder="deconv"),
+}
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", 128)))
@@ -111,22 +131,7 @@ def main() -> None:
                         "driver-facing) inference bench")
     args = p.parse_args()
 
-    _PRESETS = {
-        # turbo calibrates at the 99.9th |x| percentile: identical fps
-        # to max-calibration and measurably better rollout accuracy on
-        # the trained checkpoints (AAE 1.534 vs 1.591, round-3 table in
-        # docs/STATUS.md) — outliers no longer stretch the int8 grid.
-        "turbo": dict(dtype="bfloat16", flow_scale=0.5, tvl1_warps=3,
-                      tvl1_iters=5, quant=True, quant_percentile=99.9,
-                      quant_stem="bf16", decoder="deconv"),
-        "production": dict(dtype="bfloat16", flow_scale=0.5, tvl1_warps=None,
-                           tvl1_iters=None, quant=False,
-                           quant_percentile=None, quant_stem="int8",
-                           decoder="deconv"),
-        "parity": dict(dtype="float32", flow_scale=1.0, tvl1_warps=None,
-                       tvl1_iters=None, quant=False, quant_percentile=None,
-                       quant_stem="int8", decoder="deconv"),
-    }
+    _PRESETS = PRESETS
     # Default preset: turbo for infer/serve, production for train (quant
     # and the reduced-effort solver are SERVING knobs). An EXPLICIT
     # --preset is honored in every mode — `--mode train --preset parity`
