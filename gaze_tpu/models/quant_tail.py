@@ -122,7 +122,13 @@ class QuantTail:
     w_scales: Dict[str, jnp.ndarray]   # (O,) f32 per-output-channel
     biases: Dict[str, jnp.ndarray]     # (O,) f32 (BN folded for up*)
     act_scales: Dict[str, jnp.ndarray] # () f32 input scale per conv
-    num_blocks: int
+    # (O,) f32 sum of the int8 kernel over (h, w, in) — precomputed
+    # EAGERLY (like QuantVGG.col_sums): computing it inside the traced
+    # forward makes XLA constant-fold a reduce over the full kernel at
+    # compile time, which its slow HLO evaluator turns into tens of
+    # seconds per conv on CPU compiles (the round-4 dryrun timeout).
+    col_sums: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
+    num_blocks: int = 4
 
 
 def build_quant_tail(
@@ -131,18 +137,18 @@ def build_quant_tail(
     act_scales: Dict[str, jnp.ndarray],
 ) -> QuantTail:
     folded = fold_tail_params(sp_variables, cfg)
-    kernels, w_scales, biases = {}, {}, {}
+    kernels, w_scales, biases, col_sums = {}, {}, {}, {}
     for name, (k, b) in folded.items():
         kf = np.asarray(k, np.float32)
         s = np.maximum(np.max(np.abs(kf), axis=(0, 1, 2)) / 127.0, 1e-12)
-        kernels[name] = jnp.asarray(
-            np.clip(np.round(kf / s), -127, 127).astype(np.int8)
-        )
+        q = np.clip(np.round(kf / s), -127, 127).astype(np.int8)
+        kernels[name] = jnp.asarray(q)
         w_scales[name] = jnp.asarray(s)
         biases[name] = jnp.asarray(np.asarray(b, np.float32))
+        col_sums[name] = jnp.asarray(q.astype(np.float32).sum(axis=(0, 1, 2)))
     return QuantTail(
         kernels=kernels, w_scales=w_scales, biases=biases,
-        act_scales=dict(act_scales),
+        act_scales=dict(act_scales), col_sums=col_sums,
         num_blocks=len(cfg.decoder_channels),
     )
 
@@ -196,7 +202,7 @@ def quant_tail_forward(
     for li, name in enumerate(names):
         sx = qt.act_scales[name]
         k = qt.kernels[name]
-        col = jnp.sum(k.astype(jnp.float32), axis=(0, 1, 2))
+        col = qt.col_sums[name]
         if k.shape[0] == 1:  # 1x1 fuse / out conv — no padding needed
             acc = jax.lax.conv_general_dilated(
                 xq, k, (1, 1), "VALID",
@@ -229,6 +235,6 @@ def quant_tail_forward(
 
 jax.tree_util.register_dataclass(
     QuantTail,
-    data_fields=["kernels", "w_scales", "biases", "act_scales"],
+    data_fields=["kernels", "w_scales", "biases", "act_scales", "col_sums"],
     meta_fields=["num_blocks"],
 )

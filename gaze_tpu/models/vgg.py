@@ -30,14 +30,20 @@ VGG16_STAGES: Tuple[Tuple[int, ...], ...] = (
 
 
 class VGG16Features(nn.Module):
-    """VGG16 conv stack through conv5_3; returns (B, H/16, W/16, 512)."""
+    """VGG16 conv stack through conv5_3; returns (B, H/16, W/16, 512).
+
+    ``stages`` overrides the channel widths (layout must stay 2,2,3,3,3
+    so layer names — and every name-keyed consumer — are unchanged);
+    see SPConfig.stages.
+    """
 
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    stages: Tuple[Tuple[int, ...], ...] = VGG16_STAGES
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        for stage_idx, stage in enumerate(VGG16_STAGES):
+        for stage_idx, stage in enumerate(self.stages):
             for conv_idx, ch in enumerate(stage):
                 x = nn.Conv(
                     ch,
@@ -48,6 +54,6 @@ class VGG16Features(nn.Module):
                     name=f"conv{stage_idx + 1}_{conv_idx + 1}",
                 )(x)
                 x = nn.relu(x)
-            if stage_idx < len(VGG16_STAGES) - 1:
+            if stage_idx < len(self.stages) - 1:
                 x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
         return x

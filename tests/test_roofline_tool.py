@@ -50,8 +50,8 @@ def test_tpu_gen_detection(roofline, monkeypatch):
     assert roofline._tpu_gen() in roofline._PEAKS
 
 
-def test_presets_shared_with_bench(roofline):
-    sys.path.insert(0, os.path.dirname(_TOOL).rsplit(os.sep, 1)[0])
+def test_presets_shared_with_bench(roofline, monkeypatch):
+    monkeypatch.syspath_prepend(os.path.dirname(_TOOL).rsplit(os.sep, 1)[0])
     import bench
 
     assert set(bench.PRESETS) == {"turbo", "production", "parity"}

@@ -68,7 +68,7 @@ def _tpu_gen() -> str:
 
         with open("/var/tmp/tool_runtime_env.json") as f:
             gen = _json.load(f).get("PALLAS_AXON_TPU_GEN", "")
-    except OSError:
+    except (OSError, ValueError):  # ValueError covers JSONDecodeError
         pass
     return gen if gen in _PEAKS else "v5e"
 
@@ -110,7 +110,12 @@ def analyze_preset(name: str, batch: int, frames: int, repeats: int) -> dict:
         qsp = calibrate_pipeline_sp(pipeline, variables, pairs,
                                     percentile=preset["quant_percentile"],
                                     bf16_stem=preset["quant_stem"] == "bf16")
-        pipeline = dataclasses.replace(pipeline, quant_sp=qsp)
+        # Mirror bench.py exactly, incl. the conv lowering knob — a preset
+        # that sets quant_conv must analyze the same program it benches.
+        pipeline = dataclasses.replace(
+            pipeline, quant_sp=qsp,
+            quant_conv=preset.get("quant_conv", "xla"),
+        )
     clip_fn = make_clip_fn(pipeline)
 
     # Identical program to bench.py's driver-facing bench_fn.
@@ -126,13 +131,29 @@ def analyze_preset(name: str, batch: int, frames: int, repeats: int) -> dict:
     flops = float(ca["flops"])
     bytes_acc = float(ca["bytes accessed"])
 
-    # Steady state, relay-aware sync (scalar pull — CLAUDE.md env rules).
+    # Steady state, relay-aware: ``iters`` pipelined dispatches per timed
+    # repeat with ONE trailing scalar pull (utils/profiling.device_time
+    # pattern), RTT subtracted — so small --batch/--frames runs are not
+    # dominated by the ~25 ms relay sync.
+    from gaze_tpu.utils.profiling import RELAY_RTT_S
+
     float(bench_fn(variables, frames_b, fixsac_b))
+    # One synced probe step sizes the pipeline: enough dispatches that the
+    # residual sync jitter is <~10% of the repeat even at tiny B*T.
+    t0 = time.perf_counter()
+    float(bench_fn(variables, frames_b, fixsac_b))
+    probe = max(time.perf_counter() - t0 - RELAY_RTT_S, 1e-4)
+    iters = min(64, max(3, int(10 * RELAY_RTT_S / probe) + 1))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(bench_fn(variables, frames_b, fixsac_b))
-        times.append(time.perf_counter() - t0)
+        r = None
+        for _ in range(iters):
+            r = bench_fn(variables, frames_b, fixsac_b)
+        float(r)
+        times.append(
+            max(time.perf_counter() - t0 - RELAY_RTT_S, 0.0) / iters
+        )
     t = min(times)
 
     gen = _tpu_gen()
