@@ -204,6 +204,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "and its final conv starts at zero, so a fresh "
                         "head begins exactly at the saliency baseline "
                         "(LFConfig.residual; off = parity behavior)")
+    p.add_argument("--remat", choices=["none", "encoders", "full"],
+                   default="none",
+                   help="rematerialize (jax.checkpoint) training "
+                        "activations: 'encoders' recomputes the two VGG "
+                        "streams in the backward pass instead of storing "
+                        "their activations (~3x larger per-chip batches "
+                        "for ~25%% more step FLOPs); 'full' also remats "
+                        "the decoder. Param trees/checkpoints are "
+                        "identical across modes (SPConfig.remat)")
     p.add_argument("--augment_flip", action="store_true",
                    help="per-sample horizontal-flip augmentation in the "
                         "SP/QAT train steps (gaze mirrored; flow solved "
@@ -368,6 +377,9 @@ def make_config(args) -> PipelineConfig:
         image=dataclasses.replace(base.image, height=ih, width=iw),
         camera=cam,
         tvl1=tvl1,
+        sp=dataclasses.replace(
+            base.sp, remat=getattr(args, "remat", "none")
+        ),
         lf=dataclasses.replace(
             base.lf,
             padding=getattr(args, "lf_padding", "zero"),

@@ -88,6 +88,33 @@ class SPConfig:
     fused_channels: int = 512
     decoder_channels: Tuple[int, ...] = (512, 256, 128, 64)
     use_batchnorm: bool = True
+    # Channel widths of the VGG encoder stages (a max-pool follows every
+    # stage but the last). The default is canonical VGG16 — the parity
+    # configuration [M]. Narrow variants keep the SAME layout (2,2,3,3,3
+    # convs -> identical layer names conv{s}_{i}), so every code path
+    # (quant/QAT/serving/torch export) works unchanged; used by
+    # dryrun_multichip to validate full sharding with cheap compiles.
+    # The conv5 width must match ATConfig.feature_dim.
+    stages: Tuple[Tuple[int, ...], ...] = (
+        (64, 64),
+        (128, 128),
+        (256, 256, 256),
+        (512, 512, 512),
+        (512, 512, 512),
+    )
+    # Rematerialization (jax.checkpoint) of training activations — trades
+    # one extra forward pass of FLOPs for not storing the VGG stream
+    # activations between forward and backward (the early conv layers at
+    # full resolution are ~90% of the train step's activation memory).
+    #   "none"     — store everything (parity default; fastest step);
+    #   "encoders" — nn.remat both VGG streams: backward recomputes each
+    #                stream's forward once; enables ~3x larger per-chip
+    #                batches (tools/bench_remat.py for measured numbers);
+    #   "full"     — also remat the decoder blocks.
+    # Parameter trees are identical across settings (nn.remat preserves
+    # scopes), so checkpoints are interchangeable. Inference is
+    # unaffected (remat only changes what the backward pass stores).
+    remat: str = "none"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -82,10 +82,23 @@ class SPNet(nn.Module):
 
     def setup(self):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        self.spatial = VGG16Features(**kw)
-        self.temporal = VGG16Features(**kw)
+        if self.cfg.remat not in ("none", "encoders", "full"):
+            raise ValueError(f"unknown remat mode {self.cfg.remat!r}")
+        # jax.checkpoint via nn.remat: under a grad, the stream (and with
+        # "full" the decoder) activations are NOT stored — backward
+        # recomputes the wrapped module's forward. Scopes/param trees are
+        # unchanged, so checkpoints stay interchangeable across modes;
+        # pure inference is untouched (no residual backward to feed).
+        vgg_cls = VGG16Features if self.cfg.remat == "none" else nn.remat(
+            VGG16Features
+        )
+        dec_cls = Decoder if self.cfg.remat != "full" else nn.remat(
+            Decoder, static_argnums=(2,)
+        )
+        self.spatial = vgg_cls(stages=self.cfg.stages, **kw)
+        self.temporal = vgg_cls(stages=self.cfg.stages, **kw)
         self.fuse_conv = nn.Conv(self.cfg.fused_channels, kernel_size=(1, 1), **kw)
-        self.decoder = Decoder(self.cfg, **kw)
+        self.decoder = dec_cls(self.cfg, **kw)
 
     def __call__(
         self, rgb: jnp.ndarray, flow: jnp.ndarray, train: bool = False
@@ -111,5 +124,8 @@ class SPNet(nn.Module):
         ``sp.apply(vars, fs, ft, method=SPNet.fuse_decode)``."""
         fused = jnp.concatenate([f_spatial, f_temporal], axis=-1)
         fused = nn.relu(self.fuse_conv(fused))
-        logits = self.decoder(fused, train=train)
+        # positional ``train``: under remat="full" it is a
+        # static_argnums entry, which jax.checkpoint only honors for
+        # positional arguments.
+        logits = self.decoder(fused, train)
         return nn.sigmoid(logits.astype(jnp.float32))[..., 0]
