@@ -325,6 +325,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "QuantVGG docstring). int8 (default) keeps the "
                         "fully-quantized chain; QAT-scale checkpoints "
                         "always use int8 (the twin they trained against)")
+    p.add_argument("--quant_save", type=str, default=None, metavar="NPZ",
+                   help="after PTQ/QAT quantization, write the calibrated "
+                        "int8 bundle (kernels + scales + col sums, "
+                        "models/quant_io.py) — the deployment artifact a "
+                        "serving host loads instead of recalibrating")
+    p.add_argument("--quant_load", type=str, default=None, metavar="NPZ",
+                   help="serve from a saved int8 bundle (implies "
+                        "--quant_sp; skips calibration — no training "
+                        "data or f32 weights needed for the SP streams)")
     p.add_argument("--tboard", default=None, metavar="DIR",
                    help="also mirror step metrics into TensorBoard event "
                         "files under DIR/<stage>/ (dependency-free "
@@ -1178,7 +1187,16 @@ def main(argv: Optional[List[str]] = None) -> None:
     # full-precision pipeline (a separate object, so --train_late in the
     # same invocation never trains the LF head through the int8 path).
     eval_pipeline = pipeline
-    if args.quant_sp and (args.eval or args.extract_late or args.infer):
+    if args.quant_load and (args.eval or args.extract_late or args.infer):
+        # Deployment path: a saved int8 bundle replaces calibration
+        # entirely (models/quant_io.py).
+        from gaze_tpu.models.quant_io import load_quant_sp
+
+        qsp = load_quant_sp(args.quant_load)
+        print({"quant_sp": "int8", "bundle": args.quant_load})
+        eval_pipeline = dataclasses.replace(
+            pipeline, quant_sp=qsp, quant_conv=args.quant_conv)
+    elif args.quant_sp and (args.eval or args.extract_late or args.infer):
         # PTQ: calibrate activation scales on a few training batches via
         # the pipeline's own preprocessing — including precomputed flow
         # images when the data path supplies them, so the temporal
@@ -1219,6 +1237,11 @@ def main(argv: Optional[List[str]] = None) -> None:
             print({"quant_sp": "int8", "calibration_batches": len(pairs),
                    "percentile": args.quant_percentile,
                    "stem": args.quant_stem})
+        if args.quant_save:
+            from gaze_tpu.models.quant_io import save_quant_sp
+
+            save_quant_sp(args.quant_save, qsp)
+            print({"quant_bundle_saved": args.quant_save})
         eval_pipeline = dataclasses.replace(
             pipeline, quant_sp=qsp, quant_conv=args.quant_conv)
     if args.extract_late:
