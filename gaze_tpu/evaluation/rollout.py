@@ -74,8 +74,20 @@ def make_rollout_chunk_fn(
     if score_key not in ("heatmap", "saliency", "attention"):
         raise ValueError(f"unknown score_key {score_key!r}")
     cfg = pipeline.config
+    # Quantized weights as jit operands, not inlined constants
+    # (models/pipeline.quant_as_operand rationale).
+    import dataclasses as _dc
+    import functools as _ft
 
-    def chunk_fn(variables, state, prev, frames, fixsac, gaze, valid, flow_img=None):
+    from gaze_tpu.models.pipeline import quant_as_operand
+
+    template, qsp = quant_as_operand(pipeline)
+
+    def chunk_fn(qsp, variables, state, prev, frames, fixsac, gaze, valid,
+                 flow_img=None):
+        p = (template if qsp is None
+             else _dc.replace(template, quant_sp=qsp))
+
         def body(carry, xs):
             st, pv = carry
             if with_flow:
@@ -83,7 +95,7 @@ def make_rollout_chunk_fn(
             else:
                 cur, fix, gz, vd = xs
                 fl = None
-            st, out = pipeline.step(variables, st, pv, cur, fix, flow_img=fl)
+            st, out = p.step(variables, st, pv, cur, fix, flow_img=fl)
             a = aae(out[score_key], gz, cfg.camera)
             u = auc_judd(out[score_key], gz)
             # where (not *): a masked frame may carry NaN gaze, and
@@ -110,17 +122,23 @@ def make_rollout_chunk_fn(
         return state, prev, sums
 
     if mesh is None:
-        return jax.jit(chunk_fn)
+        return _ft.partial(jax.jit(chunk_fn), qsp)
     from gaze_tpu.parallel.mesh import batch_sharding, replicated
 
     rep, bsh = replicated(mesh), batch_sharding(mesh)
+    if qsp is not None:
+        qsp = jax.device_put(qsp, rep)
     n_in = 8 if with_flow else 7
-    return jax.jit(
-        chunk_fn,
-        # Pytree-prefix shardings: variables replicated, everything else
-        # (state pytree, prev, chunk tensors) sharded on the leading V.
-        in_shardings=(rep,) + (bsh,) * (n_in - 1),
-        out_shardings=(bsh, bsh, bsh),
+    return _ft.partial(
+        jax.jit(
+            chunk_fn,
+            # Pytree-prefix shardings: quant weights + variables
+            # replicated, everything else (state pytree, prev, chunk
+            # tensors) sharded on the leading V.
+            in_shardings=(rep, rep) + (bsh,) * (n_in - 1),
+            out_shardings=(bsh, bsh, bsh),
+        ),
+        qsp,
     )
 
 

@@ -315,19 +315,52 @@ class GazePipeline:
         return new_state, out
 
 
+def quant_as_operand(pipeline: GazePipeline):
+    """(template, qsp): split the quantized weights out of the pipeline
+    so jit wrappers can pass them as RUNTIME OPERANDS instead of
+    closure-captured constants.
+
+    Why: a closed-over QuantSP inlines ~30 MB of int8 kernels into the
+    lowered HLO as literals — every (re)compile uploads and processes
+    them (slow through this environment's relay compile service, and
+    the reason behind past HTTP-413 size limits; utils/profiling has
+    the same note for f32 params). As operands they are device-resident
+    buffers referenced by the executable: identical numerics (pinned in
+    tests/test_quant_operand.py), much smaller programs, faster serving
+    cold-start. ``dataclasses.replace(template, quant_sp=qsp)`` inside
+    the traced function rebinds the (possibly traced) pytree.
+    """
+    return dataclasses.replace(pipeline, quant_sp=None), pipeline.quant_sp
+
+
 def make_step_fn(pipeline: GazePipeline) -> Callable:
     """jit-compiled single-frame step.
 
     The stream state is deliberately NOT donated: StreamServer.tick
     reuses its pre-step ``self._state`` after the call (first-frame
     revert), so donation would hand XLA a buffer the host still reads.
+
+    Quantized weights (``pipeline.quant_sp``) are passed as jit operands
+    rather than baked into the program (see :func:`quant_as_operand`).
     """
+    import functools
+
+    if pipeline.quant_sp is None:
+
+        @jax.jit
+        def step_fn(variables, state, prev_u8, cur_u8, fixation):
+            return pipeline.step(variables, state, prev_u8, cur_u8, fixation)
+
+        return step_fn
+
+    template, qsp = quant_as_operand(pipeline)
 
     @jax.jit
-    def step_fn(variables, state, prev_u8, cur_u8, fixation):
-        return pipeline.step(variables, state, prev_u8, cur_u8, fixation)
+    def qstep_fn(qsp, variables, state, prev_u8, cur_u8, fixation):
+        p = dataclasses.replace(template, quant_sp=qsp)
+        return p.step(variables, state, prev_u8, cur_u8, fixation)
 
-    return step_fn
+    return functools.partial(qstep_fn, qsp)
 
 
 def make_clip_fn(pipeline: GazePipeline) -> Callable:
@@ -337,15 +370,23 @@ def make_clip_fn(pipeline: GazePipeline) -> Callable:
     This is the multi-stream benchmark entry: B streams advance in
     lockstep, so every frame's 2xVGG16 + TV-L1 runs batched on the MXU
     while the LSTM recurrence stays a cheap (B, 512) matmul per step.
-    """
 
-    def clip_fn(variables, frames_u8, fixsac):
+    Quantized weights ride as jit operands (:func:`quant_as_operand`),
+    not program constants.
+    """
+    import functools
+
+    template, qsp = quant_as_operand(pipeline)
+
+    def clip_fn(qsp, variables, frames_u8, fixsac):
+        p = (template if qsp is None
+             else dataclasses.replace(template, quant_sp=qsp))
         B, Tp1 = frames_u8.shape[0], frames_u8.shape[1]
-        state = pipeline.init_state(B)
+        state = p.init_state(B)
 
         def body(state, xs):
             prev, cur, fix = xs
-            state, out = pipeline.step(variables, state, prev, cur, fix)
+            state, out = p.step(variables, state, prev, cur, fix)
             return state, (out["heatmap"], out["gaze"])
 
         xs = (
@@ -356,4 +397,4 @@ def make_clip_fn(pipeline: GazePipeline) -> Callable:
         _, (heatmaps, gaze) = jax.lax.scan(body, state, xs)
         return jnp.swapaxes(heatmaps, 0, 1), jnp.swapaxes(gaze, 0, 1)
 
-    return jax.jit(clip_fn)
+    return functools.partial(jax.jit(clip_fn), qsp)

@@ -16,7 +16,7 @@ latency per tick is bounded by the step itself plus H2D of S frames.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -125,10 +125,21 @@ class StreamServer:
         # under a mesh, keeps every tensor batch-sharded end to end.
         # State is deliberately NOT donated: tick() still holds the
         # pre-step state as an operand alias on the host side.
-        pstep = self.pipeline.step
+        # Quantized weights are jit OPERANDS (replicated under a mesh),
+        # not program constants — see pipeline.quant_as_operand: ~30 MB
+        # of int8 kernels inlined as literals make serving cold-start
+        # compiles several times slower through a remote compile service.
+        import dataclasses
+        import functools
 
-        def _fused(variables, state, prev_u8, cur_u8, fixation, first):
-            new_state, out = pstep(variables, state, prev_u8, cur_u8, fixation)
+        from gaze_tpu.models.pipeline import quant_as_operand
+
+        template, qsp = quant_as_operand(self.pipeline)
+
+        def _fused(qsp, variables, state, prev_u8, cur_u8, fixation, first):
+            p = (template if qsp is None
+                 else dataclasses.replace(template, quant_sp=qsp))
+            new_state, out = p.step(variables, state, prev_u8, cur_u8, fixation)
 
             def keep_old(new, old):
                 m = first.reshape((-1,) + (1,) * (new.ndim - 1))
@@ -138,13 +149,29 @@ class StreamServer:
             return merged, out
 
         if mesh is None:
-            self._step = jax.jit(_fused)
+            if qsp is None:
+                self._step = functools.partial(jax.jit(_fused), None)
+            else:
+                # AOT with compiler-chosen (AUTO) layouts for the weight
+                # operands, device_put into that layout ONCE: operand-
+                # passed weights otherwise pay a per-tick layout
+                # conversion — measured 5% of the fused step on v5e
+                # (54.15 ms inline constants, 56.91 ms plain operands,
+                # 54.13 ms operands+AUTO — docs/STATUS.md round-5).
+                # Shapes are fixed at construction, so one executable
+                # serves the server's lifetime.
+                self._step = self._aot_quant_step(_fused, qsp)
         else:
             bsh, rep = self._bsh, self._rep
-            self._step = jax.jit(
-                _fused,
-                in_shardings=(rep, bsh, bsh, bsh, bsh, bsh),
-                out_shardings=(bsh, bsh),
+            if qsp is not None:
+                qsp = jax.device_put(qsp, rep)
+            self._step = functools.partial(
+                jax.jit(
+                    _fused,
+                    in_shardings=(rep, rep, bsh, bsh, bsh, bsh, bsh),
+                    out_shardings=(bsh, bsh),
+                ),
+                qsp,
             )
         h, w = config.image.height, config.image.width
         self._state = self._put(self.pipeline.init_state(max_streams))
@@ -156,6 +183,82 @@ class StreamServer:
         # submit() pipeline: the frame whose H2D is in flight + its bits.
         self._pending = None
         self._pending_fix = None
+
+    @staticmethod
+    def _aot_quant_step(fused, qsp):
+        """Lazy AOT wrapper for the quantized fused step: first call
+        lowers+compiles with ``Format(Layout.AUTO)`` on the weight
+        operand subtree, then device_puts the weights into the layout
+        the compiler chose (leaf-by-leaf) and verifies with one real
+        execution. Later calls reuse the executable (tick shapes are
+        fixed by ``max_streams``).
+
+        If the backend does not honor format-targeted device_put (seen
+        on the axon relay for some kernel shapes: the transferred layout
+        disagreed with the requested one), the first call raises a
+        layout-mismatch ValueError — we then fall back to the plain
+        operand jit, which costs a per-tick weight layout conversion
+        (~5% of the fused step on v5e) but is always correct.
+        """
+        import warnings
+
+        holder: Dict[str, Any] = {}
+
+        def call(variables, state, prev_u8, cur_u8, fixation, first):
+            if "fallback" in holder:
+                return holder["fallback"](
+                    variables, state, prev_u8, cur_u8, fixation, first
+                )
+            if "exec" not in holder:
+                try:
+                    from jax.experimental.layout import Format, Layout
+
+                    auto = jax.tree_util.tree_map(
+                        lambda _: Format(Layout.AUTO), qsp
+                    )
+                    jf = jax.jit(fused, in_shardings=(auto,) + (None,) * 6)
+                    compiled = jf.lower(
+                        qsp, variables, state, prev_u8, cur_u8, fixation,
+                        first,
+                    ).compile()
+                    # Relayout ON DEVICE via a jitted identity whose
+                    # output formats are the executable's input formats:
+                    # a plain device_put(x, Format) does not reliably
+                    # honor the requested layout through the axon relay
+                    # transport (the transferred array keeps another
+                    # layout and the AOT call rejects it).
+                    relayout = jax.jit(
+                        lambda t: t,
+                        out_shardings=compiled.input_formats[0][0],
+                    )
+                    qdev = relayout(qsp)
+                    result = compiled(
+                        qdev, variables, state, prev_u8, cur_u8, fixation,
+                        first,
+                    )
+                    holder["exec"], holder["qsp"] = compiled, qdev
+                    return result
+                except Exception as e:  # layout mismatch / AOT quirk
+                    warnings.warn(
+                        "AOT AUTO-layout quant step unavailable on this "
+                        f"backend ({type(e).__name__}: {str(e)[:200]}) — "
+                        "falling back to the plain operand jit "
+                        "(~5% slower per tick on v5e)."
+                    )
+                    import functools
+
+                    holder["fallback"] = functools.partial(
+                        jax.jit(fused), qsp
+                    )
+                    return holder["fallback"](
+                        variables, state, prev_u8, cur_u8, fixation, first
+                    )
+            return holder["exec"](
+                holder["qsp"], variables, state, prev_u8, cur_u8, fixation,
+                first,
+            )
+
+        return call
 
     def _put(self, tree):
         """Device-put a (batch-leading) pytree, sharded when meshed."""
