@@ -292,6 +292,19 @@ class TestCLIConfig:
         cfg = cli.make_config(args)
         assert (cfg.camera.native_width, cfg.camera.native_height) == (960, 720)
 
+    def test_remat_plumbing(self):
+        """--remat reaches SPConfig.remat; default stays 'none'."""
+        args = cli.build_argparser().parse_args(["--remat", "encoders"])
+        assert cli.make_config(args).sp.remat == "encoders"
+        args = cli.build_argparser().parse_args([])
+        assert cli.make_config(args).sp.remat == "none"
+
+    def test_quant_bundle_flags_parse(self):
+        args = cli.build_argparser().parse_args(
+            ["--quant_save", "a.npz", "--quant_load", "b.npz"]
+        )
+        assert args.quant_save == "a.npz" and args.quant_load == "b.npz"
+
     def test_tvl1_knobs(self):
         """--flow_scale/--tvl1_warps/--tvl1_iters reach TVL1Config; the
         defaults stay on the parity path."""
