@@ -140,6 +140,56 @@ def test_stream_server_quant_operand(setup):
     )
 
 
+def test_stream_server_aot_fallback(setup, monkeypatch):
+    """If the AOT AUTO-layout path fails (backend layout quirks — seen
+    through the axon relay), StreamServer must warn once and keep
+    serving through the plain operand jit with identical results."""
+    import warnings
+
+    import gaze_tpu.serve as serve_mod
+    from gaze_tpu.serve import StreamServer
+
+    qpipe, variables, rng = setup
+    f0 = rng.integers(0, 255, (2, 32, 32, 3), np.uint8)
+    f1 = rng.integers(0, 255, (2, 32, 32, 3), np.uint8)
+
+    def run(break_aot):
+        if break_aot:
+            # Poison the layout import the AOT path relies on.
+            import builtins
+
+            real_import = builtins.__import__
+
+            def fake_import(name, *a, **k):
+                if name == "jax.experimental.layout":
+                    raise ImportError("poisoned for test")
+                return real_import(name, *a, **k)
+
+            monkeypatch.setattr(builtins, "__import__", fake_import)
+        srv = StreamServer(
+            qpipe.config, variables, max_streams=2,
+            quant_sp=qpipe.quant_sp, keep_heatmaps=True,
+        )
+        srv.attach(0)
+        srv.attach(1)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            srv.tick(f0)
+        if break_aot:
+            monkeypatch.undo()
+            assert any("falling back" in str(x.message) for x in w), [
+                str(x.message) for x in w
+            ]
+        out = srv.tick(f1)
+        return out
+
+    good = run(break_aot=False)
+    fb = run(break_aot=True)
+    np.testing.assert_array_equal(good["gaze"], fb["gaze"])
+    np.testing.assert_allclose(good["heatmap"], fb["heatmap"],
+                               rtol=0, atol=1e-6)
+
+
 def test_rollout_chunk_quant_operand(setup):
     """rollout_eval_arrays through a quant pipeline (operand path) gives
     finite sums identical to the inline-constant chunk evaluation."""
