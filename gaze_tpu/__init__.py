@@ -30,10 +30,10 @@ def __getattr__(name):
         from gaze_tpu.models.pipeline import GazePipeline
 
         return GazePipeline
-    if name == "StreamServer":
-        from gaze_tpu.serve import StreamServer
+    if name in ("StreamServer", "DistributedStreamServer"):
+        from gaze_tpu import serve
 
-        return StreamServer
+        return getattr(serve, name)
     if name in ("default_config", "parity_config", "production_config",
                 "production_fast_config"):
         from gaze_tpu.core import config

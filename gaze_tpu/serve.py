@@ -394,3 +394,227 @@ class StreamServer:
         self._pending = None
         self._pending_fix = None
         return result
+
+
+class DistributedStreamServer:
+    """Multi-HOST serving: one stream pool sharded over a global mesh
+    spanning every process's chips (``core.distributed.global_mesh``).
+
+    Each process owns a contiguous block of ``streams_per_host`` slots:
+    it feeds ONLY its local frames per tick and reads back ONLY its
+    local gaze — per-host I/O, exactly like the training input pipeline
+    (``host_sharded_array``). The per-tick compiled program is SPMD
+    (every process must call :meth:`tick` in lockstep) but contains
+    ZERO cross-chip collectives — streams are independent, so scaling
+    over ICI+DCN-attached hosts is embarrassingly parallel with
+    single-chip per-tick latency.
+
+    Design constraint vs :class:`StreamServer`: a multi-process global
+    array cannot be updated eagerly from one process (every eager op on
+    it is itself SPMD-collective), so slot resets CANNOT be host-side
+    ``.at[slot].set`` calls. Instead ``attach`` marks a pending-reset
+    bit and the fused tick program selects fresh-vs-carried state per
+    slot from a (S,) reset mask — pure data, no per-process program
+    divergence. Quantized weights ride as replicated jit operands
+    (``quant_as_operand``); the AOT AUTO-layout fast path is a
+    single-process optimization and is not used here.
+
+    Degrades cleanly to single-process (process_count()==1), where it
+    is numerically identical to :class:`StreamServer` with the same
+    pool size (pinned in tests/test_serve_distributed.py).
+    """
+
+    def __init__(
+        self,
+        config: PipelineConfig,
+        variables,
+        streams_per_host: int,
+        mesh=None,
+        dtype=jnp.float32,
+        keep_heatmaps: bool = False,
+        fixation_source: str = "idt",
+        idt_dispersion_px: float = 8.0,
+        idt_window: int = 3,
+        quant_sp=None,
+        at_pool: str = "sp_argmax",
+        decoder_impl: str = "deconv",
+        quant_conv: str = "xla",
+    ):
+        import dataclasses
+        import functools
+
+        from gaze_tpu.core.distributed import global_mesh, host_sharded_array
+        from gaze_tpu.models.pipeline import quant_as_operand
+        from gaze_tpu.parallel.mesh import batch_sharding, replicated
+
+        if fixation_source not in ("idt", "static"):
+            raise ValueError(f"unknown fixation_source {fixation_source!r}")
+        self.pipeline = GazePipeline(
+            config, dtype=dtype, quant_sp=quant_sp, at_pool=at_pool,
+            decoder_impl=decoder_impl, quant_conv=quant_conv,
+        )
+        self.mesh = mesh if mesh is not None else global_mesh()
+        self.n_proc = jax.process_count()
+        self.rank = jax.process_index()
+        self.s_local = int(streams_per_host)
+        self.max_streams = self.s_local * self.n_proc
+        n_dev = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        if self.max_streams % n_dev:
+            raise ValueError(
+                f"global pool {self.max_streams} (= {streams_per_host} x "
+                f"{self.n_proc} hosts) must divide evenly over the "
+                f"{n_dev}-device mesh"
+            )
+        self.keep_heatmaps = keep_heatmaps
+        self.fixation_source = fixation_source
+        self._idt_dispersion = idt_dispersion_px
+        self._idt_window = idt_window
+        self._host_shard = functools.partial(host_sharded_array, mesh=self.mesh)
+
+        rep = replicated(self.mesh)
+        bsh = batch_sharding(self.mesh)
+
+        def rep_put(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    rep, np.asarray(x)
+                ),
+                tree,
+            )
+
+        self.variables = rep_put(variables)
+        template, qsp = quant_as_operand(self.pipeline)
+        if qsp is not None:
+            qsp = rep_put(qsp)
+        S = self.max_streams
+
+        def _fused(qsp, variables, state, prev_u8, cur_u8, fixation, first,
+                   reset):
+            p = (template if qsp is None
+                 else dataclasses.replace(template, quant_sp=qsp))
+            # Per-slot reset INSIDE the program (see class docstring):
+            # fresh state values are trace-time constants.
+            fresh = p.init_state(S)
+
+            def sel(mask):
+                def f(a, b):
+                    m = mask.reshape((-1,) + (1,) * (a.ndim - 1))
+                    return jnp.where(m, a, b)
+
+                return f
+
+            state = jax.tree_util.tree_map(
+                lambda f, s: sel(reset)(f, s), fresh, state
+            )
+            new_state, out = p.step(variables, state, prev_u8, cur_u8,
+                                    fixation)
+            # First-frame revert: slots whose pair has no real previous
+            # frame keep their (possibly just reset) state.
+            merged = jax.tree_util.tree_map(
+                lambda new, old: sel(first)(old, new), new_state, state
+            )
+            return merged, out
+
+        self._step = functools.partial(
+            jax.jit(
+                _fused,
+                in_shardings=(rep, rep, bsh, bsh, bsh, bsh, bsh, bsh),
+                out_shardings=(bsh, bsh),
+            ),
+            qsp,
+        )
+
+        h, w = config.image.height, config.image.width
+        self._state = jax.tree_util.tree_map(
+            lambda x: self._host_shard(np.asarray(x)),
+            self.pipeline.init_state(self.s_local),
+        )
+        self._prev = self._host_shard(
+            np.zeros((self.s_local, h, w, 3), np.uint8)
+        )
+        # All bookkeeping is per-LOCAL-slot, per-process.
+        self._active = np.zeros((self.s_local,), bool)
+        self._seen_first = np.zeros((self.s_local,), bool)
+        self._reset_pending = np.zeros((self.s_local,), bool)
+        self._gaze_hist = np.full(
+            (self.s_local, idt_window, 2), np.nan, np.float32
+        )
+
+    # ------------------------------------------------------- control ----
+    def attach(self, local_slot: int) -> None:
+        """Claim one of THIS host's slots; its state resets on next tick."""
+        self._active[local_slot] = True
+        self._seen_first[local_slot] = False
+        self._reset_pending[local_slot] = True
+        self._gaze_hist[local_slot] = np.nan
+
+    def detach(self, local_slot: int) -> None:
+        self._active[local_slot] = False
+
+    def active_slots(self) -> np.ndarray:
+        return np.flatnonzero(self._active)
+
+    def _idt_labels(self) -> np.ndarray:
+        g = self._gaze_hist
+        full = ~np.isnan(g).any(axis=(1, 2))
+        ext = np.nan_to_num(g.max(axis=1) - g.min(axis=1), nan=np.inf)
+        disp = ext[:, 0] + ext[:, 1]
+        return (full & (disp <= self._idt_dispersion)).astype(np.float32)
+
+    def _local(self, global_arr) -> np.ndarray:
+        """This process's contiguous rows of a batch-sharded global array."""
+        shards = sorted(
+            global_arr.addressable_shards,
+            key=lambda s: s.index[0].start or 0,
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+    # ---------------------------------------------------------- tick ----
+    def tick(
+        self, frames: np.ndarray, fixations: Optional[np.ndarray] = None
+    ) -> Dict[str, np.ndarray]:
+        """Advance every stream by one frame. SPMD-COLLECTIVE: every
+        process must call tick() the same number of times with the same
+        shapes (contents are per-host).
+
+        Args:
+          frames: (streams_per_host, H, W, 3) uint8 — THIS host's frames.
+          fixations: optional (streams_per_host,) bits for this host.
+
+        Returns: dict with "gaze" (streams_per_host, 2) for THIS host's
+        slots (+ local heatmaps when keep_heatmaps).
+        """
+        if fixations is None:
+            if self.fixation_source == "idt":
+                fixations = self._idt_labels()
+            else:
+                fixations = np.ones((self.s_local,), np.float32)
+        fix = (np.asarray(fixations, np.float32)
+               * self._active.astype(np.float32))
+        first_np = ~self._seen_first & self._active
+        reset_np = self._reset_pending.copy()
+        self._reset_pending[:] = False
+
+        cur = self._host_shard(
+            np.ascontiguousarray(frames).astype(np.uint8, copy=False)
+        )
+        self._state, out = self._step(
+            self.variables, self._state, self._prev, cur,
+            self._host_shard(fix), self._host_shard(first_np),
+            self._host_shard(reset_np),
+        )
+        self._prev = cur
+
+        gaze = self._local(out["gaze"]).copy()
+        gaze[first_np] = -1.0
+        gaze[~self._active] = -1.0
+        self._seen_first |= self._active
+
+        self._gaze_hist = np.roll(self._gaze_hist, -1, axis=1)
+        self._gaze_hist[:, -1] = np.where(gaze[:, :1] < 0, np.nan, gaze)
+
+        result = {"gaze": gaze}
+        if self.keep_heatmaps:
+            for k in ("heatmap", "saliency", "attention"):
+                result[k] = self._local(out[k])
+        return result
