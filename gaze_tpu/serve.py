@@ -539,6 +539,8 @@ class DistributedStreamServer:
         self._gaze_hist = np.full(
             (self.s_local, idt_window, 2), np.nan, np.float32
         )
+        self._pending = None
+        self._pending_fix = None
 
     # ------------------------------------------------------- control ----
     def attach(self, local_slot: int) -> None:
@@ -595,9 +597,7 @@ class DistributedStreamServer:
         reset_np = self._reset_pending.copy()
         self._reset_pending[:] = False
 
-        cur = self._host_shard(
-            np.ascontiguousarray(frames).astype(np.uint8, copy=False)
-        )
+        cur = self._ensure_global(frames)
         self._state, out = self._step(
             self.variables, self._state, self._prev, cur,
             self._host_shard(fix), self._host_shard(first_np),
@@ -617,4 +617,35 @@ class DistributedStreamServer:
         if self.keep_heatmaps:
             for k in ("heatmap", "saliency", "attention"):
                 result[k] = self._local(out[k])
+        return result
+
+    def _ensure_global(self, frames):
+        """Local (S_local, H, W, 3) host frames -> global sharded array
+        (pass-through when already assembled, e.g. by submit())."""
+        if isinstance(frames, jax.Array):
+            return frames
+        return self._host_shard(
+            np.ascontiguousarray(frames).astype(np.uint8, copy=False)
+        )
+
+    def submit(self, frames: np.ndarray, fixations: Optional[np.ndarray] = None):
+        """Pipelined tick (see StreamServer.submit): starts this frame's
+        per-host H2D + global assembly, then advances every stream by
+        the PREVIOUSLY submitted frame and returns its local results
+        (None on the first call). SPMD-collective like tick()."""
+        new_dev = self._ensure_global(frames)
+        result = None
+        if self._pending is not None:
+            result = self.tick(self._pending, self._pending_fix)
+        self._pending = new_dev
+        self._pending_fix = fixations
+        return result
+
+    def flush(self):
+        """Drain the submit() pipeline: process the last pending frame."""
+        if self._pending is None:
+            return None
+        result = self.tick(self._pending, self._pending_fix)
+        self._pending = None
+        self._pending_fix = None
         return result

@@ -66,9 +66,19 @@ def _fake_quant_saliency(
     train: bool,
 ):
     """Saliency through fake-quant streams + the real f32 tail. Returns
-    (sal, new_batch_stats_or_None)."""
-    fs = qat_vgg_forward(params["spatial"], act_scales["spatial"], rgb_in)
-    ft = qat_vgg_forward(params["temporal"], act_scales["temporal"], flow_in)
+    (sal, new_batch_stats_or_None).
+
+    Honors ``SPConfig.remat`` ("encoders"/"full" both checkpoint the
+    fake-quant streams here — the decoder runs through the flax module,
+    whose own remat wrapper SPNet.setup applies): the QAT backward then
+    recomputes each stream's forward instead of storing its activations,
+    the same memory/FLOPs trade as the plain SP step
+    (tools/bench_remat.py)."""
+    fwd = qat_vgg_forward
+    if pipeline.config.sp.remat != "none":
+        fwd = jax.checkpoint(qat_vgg_forward)
+    fs = fwd(params["spatial"], act_scales["spatial"], rgb_in)
+    ft = fwd(params["temporal"], act_scales["temporal"], flow_in)
     fs = fs.astype(pipeline.dtype)
     ft = ft.astype(pipeline.dtype)
     if train:

@@ -120,6 +120,24 @@ def test_train_step_runs_with_remat_and_accum():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_qat_step_matches_without_remat():
+    """QAT fine-tuning honors SPConfig.remat: identical loss vs none."""
+    from gaze_tpu.train.qat import calibrate_qat_scales, make_qat_train_step
+    from gaze_tpu.train.sp import create_sp_state
+
+    batch = _batch()
+    losses = {}
+    for mode in ("none", "encoders"):
+        pipe = GazePipeline(_cfg(mode))
+        state = create_sp_state(jax.random.key(2), pipe)
+        scales = calibrate_qat_scales(
+            pipe, {"params": state.params}, [(batch["prev"], batch["cur"])]
+        )
+        _, metrics = make_qat_train_step(pipe, scales)(state, batch)
+        losses[mode] = float(metrics["loss"])
+    assert np.isclose(losses["none"], losses["encoders"], rtol=1e-6), losses
+
+
 def test_unknown_remat_mode_raises():
     with pytest.raises(ValueError, match="remat"):
         GazePipeline(_cfg("everything")).sp.init(

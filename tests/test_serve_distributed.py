@@ -118,6 +118,23 @@ def test_quant_operand_distributed(setup):
         np.testing.assert_array_equal(r["gaze"], d["gaze"], err_msg=f"t={t}")
 
 
+def test_submit_pipeline_matches_tick(setup):
+    """submit() lags one frame and produces the same tracks as tick()."""
+    cfg, variables, frames = setup
+    S = frames.shape[1]
+    a = DistributedStreamServer(cfg, variables, streams_per_host=S)
+    b = DistributedStreamServer(cfg, variables, streams_per_host=S)
+    for s in range(S):
+        a.attach(s)
+        b.attach(s)
+    ticked = [a.tick(frames[t])["gaze"] for t in range(3)]
+    subbed = [b.submit(frames[t]) for t in range(3)]
+    assert subbed[0] is None
+    subbed = [r["gaze"] for r in subbed[1:]] + [b.flush()["gaze"]]
+    for t in range(3):
+        np.testing.assert_array_equal(ticked[t], subbed[t], err_msg=f"t={t}")
+
+
 def test_pool_must_divide_devices(setup):
     cfg, variables, _ = setup
     with pytest.raises(ValueError, match="divide"):
