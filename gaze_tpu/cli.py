@@ -124,6 +124,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "ffmpeg on PATH) or a directory of frames; "
                         "writes a per-frame gaze track in native pixel "
                         "coords (SURVEY §3.4 packaged end to end)")
+    p.add_argument("--infer_batch", type=str, default=None, metavar="DIR",
+                   help="batch inference: every video file (or per-video "
+                        "frame directory) under DIR advances as one "
+                        "stream of a single StreamServer pool — N videos "
+                        "decode+predict in LOCKSTEP at multi-stream "
+                        "throughput (the reference's val() processes "
+                        "videos one at a time). Writes one gaze txt per "
+                        "video to --infer_out (a directory here; default "
+                        "<save_dir>/infer_batch/)")
     p.add_argument("--infer_out", type=str, default=None, metavar="TXT",
                    help="gaze-track output path (default "
                         "<save_dir>/infer_gaze.txt)")
@@ -1107,6 +1116,113 @@ def run_infer(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> str:
     return out_path
 
 
+_VIDEO_EXTS = (".avi", ".mp4", ".m4v", ".mov", ".mkv", ".mpg", ".mpeg")
+
+
+def run_infer_batch(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> str:
+    """``--infer_batch DIR``: N videos as N lockstep streams of ONE
+    StreamServer pool.
+
+    The reference's practical loop (ref:LF.py ``val()`` [M], SURVEY.md
+    §3.4) processes videos one at a time; a TPU chip at 224² serves
+    >2000 frames/sec across a batch, so batch inference is the natural
+    deployment shape: every video file (data/video.py ingestion — MJPEG
+    AVI / MP4 / XVID / MOV without an ffmpeg binary) or per-video frame
+    directory under DIR claims one stream slot, frames decode per tick
+    through the threaded C++ batch decoder (data/native_io.decode_batch)
+    at the model grid, and streams detach as their videos end. Output:
+    one ``<stem>.txt`` gaze track per video (native pixels, ``--infer``
+    format: first frame "-1 -1").
+    """
+    import tempfile
+
+    from PIL import Image
+
+    from gaze_tpu.data.native_io import decode_batch
+    from gaze_tpu.data.video import extract_frames
+    from gaze_tpu.serve import StreamServer
+
+    root = args.infer_batch
+    entries = sorted(os.listdir(root))
+    videos: List[Tuple[str, List[str]]] = []  # (stem, frame paths)
+    exts = (".jpg", ".jpeg", ".png")
+    for name in entries:
+        path = os.path.join(root, name)
+        if os.path.isfile(path) and name.lower().endswith(_VIDEO_EXTS):
+            frames_dir = tempfile.mkdtemp(prefix=f"gaze_batch_{name}_")
+            extract_frames(path, frames_dir)
+            stem = os.path.splitext(name)[0]
+        elif os.path.isdir(path):
+            frames_dir, stem = path, name
+        else:
+            continue
+        paths = sorted(
+            os.path.join(frames_dir, f)
+            for f in os.listdir(frames_dir)
+            if f.lower().endswith(exts)
+        )
+        if paths:
+            videos.append((stem, paths))
+    if not videos:
+        raise FileNotFoundError(
+            f"--infer_batch: no videos or frame directories under {root!r}"
+        )
+
+    th, tw = cfg.image.height, cfg.image.width
+    n = len(videos)
+    variables = {"sp": sp_vars, "at": at_vars, "lf": {"params": lf_state.params}}
+    server = StreamServer(
+        cfg, variables, max_streams=n, dtype=pipeline.dtype,
+        quant_sp=pipeline.quant_sp, at_pool=pipeline.at_pool,
+        decoder_impl=pipeline.decoder_impl,
+    )
+    native_wh = []
+    for v, (_, paths) in enumerate(videos):
+        server.attach(v)
+        with Image.open(paths[0]) as im:
+            native_wh.append(im.size)
+
+    lens = [len(p) for _, p in videos]
+    t_max = max(lens)
+    tracks: List[List[Tuple[float, float]]] = [[] for _ in videos]
+
+    def take(out):
+        if out is None:
+            return
+        g = np.asarray(out["gaze"])
+        for v in range(n):
+            if len(tracks[v]) < lens[v]:
+                tracks[v].append((float(g[v, 0]), float(g[v, 1])))
+
+    frame = np.zeros((n, th, tw, 3), np.uint8)
+    for t in range(t_max):
+        live = [v for v in range(n) if t < lens[v]]
+        batch_paths = [videos[v][1][t] for v in live]
+        decoded = decode_batch(batch_paths, target_hw=(th, tw))
+        for i, v in enumerate(live):
+            frame[v] = decoded[i]
+        # Ended videos keep re-feeding their final frame: submit() lags
+        # results by one tick, so detaching when a video ends would
+        # zero out its LAST real frame's gaze — the track-length guard
+        # in take() already stops recording past each video's end.
+        take(server.submit(frame.copy()))
+    take(server.flush())
+
+    out_dir = args.infer_out or os.path.join(args.save_dir, "infer_batch")
+    os.makedirs(out_dir, exist_ok=True)
+    for v, (stem, _) in enumerate(videos):
+        nw, nh = native_wh[v]
+        with open(os.path.join(out_dir, f"{stem}.txt"), "w") as f:
+            for gx, gy in tracks[v]:
+                if gx < 0:
+                    f.write("-1 -1\n")
+                else:
+                    f.write(f"{gx * nw / tw:.2f} {gy * nh / th:.2f}\n")
+    print({"infer_batch_videos": n, "frames": sum(lens),
+           "out_dir": out_dir})
+    return out_dir
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     args = build_argparser().parse_args(argv)
     if args.debug_nans:
@@ -1154,7 +1270,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     if args.train_sp:
         sp_vars = run_train_sp(args, cfg, pipeline, mesh)
     if (args.train_qat or args.train_lstm or args.train_late or args.eval
-            or args.extract_late or args.export_torch or args.infer):
+            or args.extract_late or args.export_torch or args.infer
+            or args.infer_batch):
         if sp_vars is None:
             state = create_sp_state(rng, pipeline)
             state = restore_trained(
@@ -1176,7 +1293,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     if args.train_lstm:
         at_vars = run_train_lstm(args, cfg, pipeline, mesh, sp_vars)
     if (args.train_late or args.eval or args.extract_late or args.export_torch
-            or args.infer):
+            or args.infer or args.infer_batch):
         if at_vars is None:
             state = create_at_state(rng, pipeline)
             state = restore_trained(
@@ -1187,7 +1304,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     # full-precision pipeline (a separate object, so --train_late in the
     # same invocation never trains the LF head through the int8 path).
     eval_pipeline = pipeline
-    if args.quant_load and (args.eval or args.extract_late or args.infer):
+    if args.quant_load and (args.eval or args.extract_late or args.infer
+                            or args.infer_batch):
         # Deployment path: a saved int8 bundle replaces calibration
         # entirely (models/quant_io.py).
         from gaze_tpu.models.quant_io import load_quant_sp
@@ -1196,7 +1314,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         print({"quant_sp": "int8", "bundle": args.quant_load})
         eval_pipeline = dataclasses.replace(
             pipeline, quant_sp=qsp, quant_conv=args.quant_conv)
-    elif args.quant_sp and (args.eval or args.extract_late or args.infer):
+    elif args.quant_sp and (args.eval or args.extract_late or args.infer
+                            or args.infer_batch):
         # PTQ: calibrate activation scales on a few training batches via
         # the pipeline's own preprocessing — including precomputed flow
         # images when the data path supplies them, so the temporal
@@ -1248,7 +1367,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         run_extract_late(args, cfg, eval_pipeline, sp_vars, at_vars)
     if args.train_late:
         lf_state = run_train_late(args, cfg, pipeline, mesh, sp_vars, at_vars)
-    if args.eval or args.export_torch or args.infer:
+    if args.eval or args.export_torch or args.infer or args.infer_batch:
         if lf_state is None:
             state = create_lf_state(rng, pipeline)
             lf_state = restore_trained(
@@ -1258,6 +1377,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         run_eval(args, cfg, eval_pipeline, sp_vars, at_vars, lf_state, mesh=mesh)
     if args.infer:
         run_infer(args, cfg, eval_pipeline, sp_vars, at_vars, lf_state)
+    if args.infer_batch:
+        run_infer_batch(args, cfg, eval_pipeline, sp_vars, at_vars, lf_state)
     if args.export_torch:
         from gaze_tpu.models.weights_export import export_pipeline_to_torch
 

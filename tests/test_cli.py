@@ -278,6 +278,56 @@ class TestExtractLate:
             assert np.isfinite(z["saliency"]).all()
 
 
+class TestInferBatch:
+    def test_directory_of_videos_and_frame_dirs(self, save_dir, tmp_path,
+                                                capsys):
+        """--infer_batch: one MJPEG AVI + one frame directory, different
+        lengths, as lockstep streams -> one native-pixel track each with
+        the right row counts and the '-1 -1' first row."""
+        import io
+
+        from PIL import Image
+
+        from gaze_tpu.data.video import write_mjpeg_avi
+
+        rng = np.random.default_rng(3)
+        root = tmp_path / "videos"
+        root.mkdir()
+
+        def jpeg_bytes(h, w):
+            buf = io.BytesIO()
+            Image.fromarray(
+                rng.integers(0, 255, (h, w, 3), np.uint8)
+            ).save(buf, "JPEG")
+            return buf.getvalue()
+
+        # video a: 5-frame 48x64 MJPEG AVI
+        write_mjpeg_avi(str(root / "a.avi"),
+                        [jpeg_bytes(48, 64) for _ in range(5)], 64, 48)
+        # video b: 7-frame 32x32 frame DIRECTORY
+        (root / "b").mkdir()
+        for i in range(7):
+            (root / "b" / f"{i:04d}.jpg").write_bytes(jpeg_bytes(32, 32))
+
+        out_dir = str(tmp_path / "tracks")
+        run_cli(
+            ["--infer_batch", str(root), "--infer_out", out_dir,
+             "--save_dir", save_dir] + ARGS_COMMON
+        )
+        a = open(os.path.join(out_dir, "a.txt")).read().splitlines()
+        b = open(os.path.join(out_dir, "b.txt")).read().splitlines()
+        assert len(a) == 5 and len(b) == 7
+        assert a[0] == "-1 -1" and b[0] == "-1 -1"
+        # later rows are native-pixel coordinates inside each frame
+        ax, ay = map(float, a[-1].split())
+        assert 0 <= ax <= 64 and 0 <= ay <= 48
+        bx, by = map(float, b[-1].split())
+        assert 0 <= bx <= 32 and 0 <= by <= 32
+        # LAST real frame of the shorter video must be a real prediction
+        # (the submit() pipeline lag must not clip it)
+        assert a[-1] != "-1 -1" and b[-1] != "-1 -1"
+
+
 class TestCLIConfig:
     def test_image_size_hxw(self):
         args = cli.build_argparser().parse_args(["--image_size", "288x384"])
