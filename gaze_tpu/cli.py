@@ -1043,12 +1043,7 @@ def run_infer(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> str:
         frames_dir = tempfile.mkdtemp(prefix="gaze_infer_frames_")
         n = extract_frames(src, frames_dir)
         print({"infer_extracted_frames": n, "frames_dir": frames_dir})
-    exts = (".jpg", ".jpeg", ".png")
-    paths = sorted(
-        os.path.join(frames_dir, f)
-        for f in os.listdir(frames_dir)
-        if f.lower().endswith(exts)
-    )
+    paths = _list_frames(frames_dir)
     if not paths:
         raise FileNotFoundError(f"--infer: no frames found under {frames_dir}")
 
@@ -1085,12 +1080,8 @@ def run_infer(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> str:
     nw, nh = native_wh
     out_path = args.infer_out or os.path.join(args.save_dir, "infer_gaze.txt")
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    with open(out_path, "w") as f:
-        for g, _ in results:
-            if g[0] < 0:  # first frame: no flow pair yet
-                f.write("-1 -1\n")
-            else:
-                f.write(f"{g[0] * nw / tw:.2f} {g[1] * nh / th:.2f}\n")
+    _write_track(out_path, [(g[0], g[1]) for g, _ in results],
+                 (nw, nh), (tw, th))
     if want_maps:
         os.makedirs(args.infer_heatmaps, exist_ok=True)
         for i, (_, hm) in enumerate(results):
@@ -1117,6 +1108,29 @@ def run_infer(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> str:
 
 
 _VIDEO_EXTS = (".avi", ".mp4", ".m4v", ".mov", ".mkv", ".mpg", ".mpeg")
+_FRAME_EXTS = (".jpg", ".jpeg", ".png")
+
+
+def _list_frames(frames_dir: str) -> List[str]:
+    """Sorted frame-image paths under a per-video directory."""
+    return sorted(
+        os.path.join(frames_dir, f)
+        for f in os.listdir(frames_dir)
+        if f.lower().endswith(_FRAME_EXTS)
+    )
+
+
+def _write_track(path: str, gazes, native_wh, model_wh) -> None:
+    """Gaze rows in NATIVE pixels, the --infer txt format ("-1 -1" for
+    frames with no prediction)."""
+    nw, nh = native_wh
+    tw, th = model_wh
+    with open(path, "w") as f:
+        for gx, gy in gazes:
+            if gx < 0:
+                f.write("-1 -1\n")
+            else:
+                f.write(f"{gx * nw / tw:.2f} {gy * nh / th:.2f}\n")
 
 
 def run_infer_batch(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> str:
@@ -1134,6 +1148,7 @@ def run_infer_batch(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> str:
     one ``<stem>.txt`` gaze track per video (native pixels, ``--infer``
     format: first frame "-1 -1").
     """
+    import shutil
     import tempfile
 
     from PIL import Image
@@ -1145,27 +1160,32 @@ def run_infer_batch(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> str:
     root = args.infer_batch
     entries = sorted(os.listdir(root))
     videos: List[Tuple[str, List[str]]] = []  # (stem, frame paths)
-    exts = (".jpg", ".jpeg", ".png")
+    tmp_dirs: List[str] = []
     for name in entries:
         path = os.path.join(root, name)
         if os.path.isfile(path) and name.lower().endswith(_VIDEO_EXTS):
             frames_dir = tempfile.mkdtemp(prefix=f"gaze_batch_{name}_")
+            tmp_dirs.append(frames_dir)
             extract_frames(path, frames_dir)
             stem = os.path.splitext(name)[0]
         elif os.path.isdir(path):
             frames_dir, stem = path, name
         else:
             continue
-        paths = sorted(
-            os.path.join(frames_dir, f)
-            for f in os.listdir(frames_dir)
-            if f.lower().endswith(exts)
-        )
+        paths = _list_frames(frames_dir)
         if paths:
             videos.append((stem, paths))
     if not videos:
         raise FileNotFoundError(
             f"--infer_batch: no videos or frame directories under {root!r}"
+        )
+    stems = [stem for stem, _ in videos]
+    dupes = sorted({x for x in stems if stems.count(x) > 1})
+    if dupes:
+        raise ValueError(
+            f"--infer_batch: duplicate output stems {dupes} (e.g. a.avi "
+            "next to a.mp4 or a frame directory 'a') would overwrite each "
+            "other's gaze tracks — rename the inputs"
         )
 
     th, tw = cfg.image.height, cfg.image.width
@@ -1197,10 +1217,19 @@ def run_infer_batch(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> str:
     frame = np.zeros((n, th, tw, 3), np.uint8)
     for t in range(t_max):
         live = [v for v in range(n) if t < lens[v]]
-        batch_paths = [videos[v][1][t] for v in live]
-        decoded = decode_batch(batch_paths, target_hw=(th, tw))
-        for i, v in enumerate(live):
-            frame[v] = decoded[i]
+        # decode_batch routes native-vs-PIL off its FIRST path (its
+        # batches are homogeneous per call), so group mixed-format
+        # corpora (JPEG frame dirs next to PNG ones) by extension.
+        groups: Dict[bool, List[int]] = {}
+        for v in live:
+            is_jpg = videos[v][1][t].lower().endswith((".jpg", ".jpeg"))
+            groups.setdefault(is_jpg, []).append(v)
+        for vs in groups.values():
+            decoded = decode_batch(
+                [videos[v][1][t] for v in vs], target_hw=(th, tw)
+            )
+            for i, v in enumerate(vs):
+                frame[v] = decoded[i]
         # Ended videos keep re-feeding their final frame: submit() lags
         # results by one tick, so detaching when a video ends would
         # zero out its LAST real frame's gaze — the track-length guard
@@ -1208,16 +1237,16 @@ def run_infer_batch(args, cfg, pipeline, sp_vars, at_vars, lf_state) -> str:
         take(server.submit(frame.copy()))
     take(server.flush())
 
-    out_dir = args.infer_out or os.path.join(args.save_dir, "infer_batch")
+    # --infer_out names a FILE for --infer; only honor it as this mode's
+    # output DIRECTORY when --infer isn't also claiming it.
+    out_dir = (args.infer_out if args.infer_out and not args.infer
+               else os.path.join(args.save_dir, "infer_batch"))
     os.makedirs(out_dir, exist_ok=True)
     for v, (stem, _) in enumerate(videos):
-        nw, nh = native_wh[v]
-        with open(os.path.join(out_dir, f"{stem}.txt"), "w") as f:
-            for gx, gy in tracks[v]:
-                if gx < 0:
-                    f.write("-1 -1\n")
-                else:
-                    f.write(f"{gx * nw / tw:.2f} {gy * nh / th:.2f}\n")
+        _write_track(os.path.join(out_dir, f"{stem}.txt"), tracks[v],
+                     native_wh[v], (tw, th))
+    for d in tmp_dirs:  # extracted-frame dumps (one per video file)
+        shutil.rmtree(d, ignore_errors=True)
     print({"infer_batch_videos": n, "frames": sum(lens),
            "out_dir": out_dir})
     return out_dir
@@ -1271,7 +1300,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         sp_vars = run_train_sp(args, cfg, pipeline, mesh)
     if (args.train_qat or args.train_lstm or args.train_late or args.eval
             or args.extract_late or args.export_torch or args.infer
-            or args.infer_batch):
+            or args.infer_batch or (args.quant_sp and args.quant_save)):
         if sp_vars is None:
             state = create_sp_state(rng, pipeline)
             state = restore_trained(
@@ -1312,10 +1341,13 @@ def main(argv: Optional[List[str]] = None) -> None:
 
         qsp = load_quant_sp(args.quant_load)
         print({"quant_sp": "int8", "bundle": args.quant_load})
+        if args.quant_save:
+            print("--quant_save ignored under --quant_load (the bundle "
+                  "already exists)", file=sys.stderr)
         eval_pipeline = dataclasses.replace(
             pipeline, quant_sp=qsp, quant_conv=args.quant_conv)
     elif args.quant_sp and (args.eval or args.extract_late or args.infer
-                            or args.infer_batch):
+                            or args.infer_batch or args.quant_save):
         # PTQ: calibrate activation scales on a few training batches via
         # the pipeline's own preprocessing — including precomputed flow
         # images when the data path supplies them, so the temporal

@@ -183,6 +183,20 @@ class StreamServer:
         # submit() pipeline: the frame whose H2D is in flight + its bits.
         self._pending = None
         self._pending_fix = None
+        # Result of a pipeline drain forced by attach()/detach(); handed
+        # to the caller on its next submit() so the one-result-per-submit
+        # cadence holds.
+        self._stash = None
+
+    def _drain_pending(self):
+        """attach/detach during an in-flight submit(): the pending frame
+        was captured under the OLD slot bookkeeping, so process it
+        BEFORE mutating — otherwise the stale frame's tick consumes the
+        new stream's reset/first bits and its next real first frame
+        pairs with an unrelated prev frame (garbage flow reported as a
+        valid gaze)."""
+        if self._pending is not None:
+            self._stash = self.flush()
 
     @staticmethod
     def _aot_quant_step(fused, qsp):
@@ -253,10 +267,29 @@ class StreamServer:
                     return holder["fallback"](
                         variables, state, prev_u8, cur_u8, fixation, first
                     )
-            return holder["exec"](
-                holder["qsp"], variables, state, prev_u8, cur_u8, fixation,
-                first,
-            )
+            try:
+                return holder["exec"](
+                    holder["qsp"], variables, state, prev_u8, cur_u8,
+                    fixation, first,
+                )
+            except Exception as e:
+                # A LATER tick can still hit backend layout quirks: an
+                # eager attach()-time state rebuild may come back in a
+                # layout the cached executable rejects (the same relay
+                # behavior the first-call guard covers). Fall back for
+                # the server's remaining lifetime rather than crash a
+                # live serving loop.
+                warnings.warn(
+                    "AOT quant step failed after first tick "
+                    f"({type(e).__name__}: {str(e)[:200]}) — switching to "
+                    "the plain operand jit."
+                )
+                import functools
+
+                holder["fallback"] = functools.partial(jax.jit(fused), qsp)
+                return holder["fallback"](
+                    variables, state, prev_u8, cur_u8, fixation, first
+                )
 
         return call
 
@@ -269,12 +302,14 @@ class StreamServer:
     # ------------------------------------------------------- control ----
     def attach(self, slot: int) -> None:
         """Claim a stream slot; its recurrent state starts fresh."""
+        self._drain_pending()
         self._active[slot] = True
         self._seen_first[slot] = False
         self._gaze_hist[slot] = np.nan
         self._reset_slot(slot)
 
     def detach(self, slot: int) -> None:
+        self._drain_pending()
         self._active[slot] = False
 
     def active_slots(self) -> np.ndarray:
@@ -379,7 +414,8 @@ class StreamServer:
         keeps PCIe and the chip busy simultaneously.
         """
         new_dev = self._put(frames)  # async H2D (sharded when meshed)
-        result = None
+        result = self._stash  # a drain forced by attach()/detach()
+        self._stash = None
         if self._pending is not None:
             result = self.tick(self._pending, self._pending_fix)
         self._pending = new_dev
@@ -541,16 +577,28 @@ class DistributedStreamServer:
         )
         self._pending = None
         self._pending_fix = None
+        self._stash = None
+
+    def _drain_pending(self):
+        """See StreamServer._drain_pending — same submit-pipeline hazard.
+        SPMD note: attach/detach are per-host decisions, but a drain
+        issues a tick, which is COLLECTIVE — callers on every process
+        must keep their tick/submit/attach sequences aligned (the same
+        discipline tick() itself already requires)."""
+        if self._pending is not None:
+            self._stash = self.flush()
 
     # ------------------------------------------------------- control ----
     def attach(self, local_slot: int) -> None:
         """Claim one of THIS host's slots; its state resets on next tick."""
+        self._drain_pending()
         self._active[local_slot] = True
         self._seen_first[local_slot] = False
         self._reset_pending[local_slot] = True
         self._gaze_hist[local_slot] = np.nan
 
     def detach(self, local_slot: int) -> None:
+        self._drain_pending()
         self._active[local_slot] = False
 
     def active_slots(self) -> np.ndarray:
@@ -634,7 +682,8 @@ class DistributedStreamServer:
         the PREVIOUSLY submitted frame and returns its local results
         (None on the first call). SPMD-collective like tick()."""
         new_dev = self._ensure_global(frames)
-        result = None
+        result = self._stash  # a drain forced by attach()/detach()
+        self._stash = None
         if self._pending is not None:
             result = self.tick(self._pending, self._pending_fix)
         self._pending = new_dev

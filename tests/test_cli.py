@@ -304,10 +304,16 @@ class TestInferBatch:
         # video a: 5-frame 48x64 MJPEG AVI
         write_mjpeg_avi(str(root / "a.avi"),
                         [jpeg_bytes(48, 64) for _ in range(5)], 64, 48)
-        # video b: 7-frame 32x32 frame DIRECTORY
+        # video b: 7-frame 32x32 frame DIRECTORY of PNGs — mixed with
+        # a's JPEGs in the same per-tick batch, exercising the
+        # per-format decode grouping (native_io routes off paths[0]).
         (root / "b").mkdir()
         for i in range(7):
-            (root / "b" / f"{i:04d}.jpg").write_bytes(jpeg_bytes(32, 32))
+            buf = io.BytesIO()
+            Image.fromarray(
+                rng.integers(0, 255, (32, 32, 3), np.uint8)
+            ).save(buf, "PNG")
+            (root / "b" / f"{i:04d}.png").write_bytes(buf.getvalue())
 
         out_dir = str(tmp_path / "tracks")
         run_cli(
@@ -326,6 +332,41 @@ class TestInferBatch:
         # LAST real frame of the shorter video must be a real prediction
         # (the submit() pipeline lag must not clip it)
         assert a[-1] != "-1 -1" and b[-1] != "-1 -1"
+
+    def test_duplicate_stems_raise(self, save_dir, tmp_path):
+        """a.avi next to frame-dir 'a' would overwrite a.txt — refuse."""
+        import io
+
+        from PIL import Image
+
+        from gaze_tpu.data.video import write_mjpeg_avi
+
+        rng = np.random.default_rng(5)
+        root = tmp_path / "dup"
+        root.mkdir()
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 255, (32, 32, 3), np.uint8)
+        ).save(buf, "JPEG")
+        write_mjpeg_avi(str(root / "a.avi"), [buf.getvalue()] * 2, 32, 32)
+        (root / "a").mkdir()
+        (root / "a" / "0000.jpg").write_bytes(buf.getvalue())
+        with pytest.raises(ValueError, match="duplicate"):
+            run_cli(["--infer_batch", str(root), "--save_dir", save_dir]
+                    + ARGS_COMMON)
+
+    def test_bare_quant_save_writes_bundle(self, save_dir, tmp_path):
+        """--quant_sp --quant_save with NO eval/infer action must still
+        calibrate and write the deployment bundle (it used to be a
+        silent no-op)."""
+        bundle = str(tmp_path / "int8.npz")
+        run_cli(["--train_sp", "--save_dir", save_dir] + ARGS_COMMON)
+        run_cli(["--quant_sp", "--quant_save", bundle,
+                 "--save_dir", save_dir] + ARGS_COMMON)
+        from gaze_tpu.models.quant_io import load_quant_sp
+
+        qsp = load_quant_sp(bundle)
+        assert qsp.spatial.kernels["conv1_1"].dtype == np.int8
 
 
 class TestCLIConfig:

@@ -102,6 +102,36 @@ class TestPipelinedSubmit:
 
 
 class TestServingIDT:
+    def test_attach_during_submit_pipeline_is_safe(self, served):
+        """attach() between submits must drain the pending frame first:
+        otherwise the stale frame's tick consumes the new stream's
+        first/reset bookkeeping and the stream's first REAL frame pairs
+        with an unrelated prev frame (garbage flow as a valid gaze).
+        The drained result is handed to the next submit(), preserving
+        the one-result-per-submit cadence."""
+        cfg, variables, frames, fixsac = served
+
+        srv = StreamServer(cfg, variables, max_streams=2)
+        srv.attach(0)
+        f = lambda t: np.stack([frames[t], frames[t]])
+        assert srv.submit(f(0)) is None
+        srv.attach(1)              # mid-pipeline: drains frame 0
+        r1 = srv.submit(f(1))      # returns the DRAINED frame-0 result
+        assert tuple(r1["gaze"][0]) == (-1.0, -1.0)  # slot 0 first frame
+        assert tuple(r1["gaze"][1]) == (-1.0, -1.0)  # attached after f0
+        r2 = srv.submit(f(2))      # frame 1: slot 1's first frame
+        assert tuple(r2["gaze"][1]) == (-1.0, -1.0)
+        r3 = srv.flush()           # frame 2: slot 1's first REAL pair
+        assert (r3["gaze"][1] >= 0).all()
+
+        # The new stream's outputs equal a fresh single-stream server's
+        # on the same frame sequence (no stale-frame poisoning).
+        ref = StreamServer(cfg, variables, max_streams=2)
+        ref.attach(1)
+        ref.tick(f(1))
+        ref_out = ref.tick(f(2))
+        np.testing.assert_array_equal(r3["gaze"][1], ref_out["gaze"][1])
+
     def test_idt_labels_from_gaze_history(self, served):
         """Self-running mode: fixation bits derive from the trailing
         predicted-gaze window (dispersion under threshold + full window),
