@@ -237,6 +237,24 @@ class TestMeshServing:
         leaf = jax.tree_util.tree_leaves(meshed._state)[0]
         assert len(leaf.sharding.device_set) == n_dev
 
+    def test_attach_during_submit_on_mesh(self, served):
+        """The submit-pipeline drain also holds on the meshed server:
+        attaching mid-pipeline must not poison the new stream."""
+        from gaze_tpu.parallel.mesh import make_mesh
+
+        cfg, variables, frames, fixsac = served
+        srv = StreamServer(cfg, variables, max_streams=8, mesh=make_mesh())
+        srv.attach(0)
+        f = lambda t: np.stack([frames[t]] * 8)
+        assert srv.submit(f(0)) is None
+        srv.attach(1)
+        r1 = srv.submit(f(1))  # drained frame-0 result
+        assert tuple(r1["gaze"][1]) == (-1.0, -1.0)
+        r2 = srv.submit(f(2))  # frame 1: slot 1's first frame
+        assert tuple(r2["gaze"][1]) == (-1.0, -1.0)
+        r3 = srv.flush()       # frame 2: slot 1's first real pair
+        assert (r3["gaze"][1] >= 0).all()
+
     def test_divisibility_guard(self, served):
         from gaze_tpu.parallel.mesh import make_mesh
 
