@@ -62,7 +62,7 @@ def apply_hflip(batch: Dict[str, jnp.ndarray], model_width: int) -> Dict:
     for k in ("prev", "cur"):
         if k in out:
             out[k] = img(out[k])
-    if out.get("flow_img") is not None and "flow_img" in out:
+    if out.get("flow_img") is not None:
         f = jnp.flip(out["flow_img"], axis=2)
         # x channel: negate on the 8-bit grid (255 - v); y unchanged.
         fx = (255 - f[..., :1].astype(jnp.int32)).astype(f.dtype)

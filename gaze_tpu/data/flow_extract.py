@@ -176,8 +176,11 @@ def extract_video_flow(
     if len(image_paths) < 2:
         return 0
     os.makedirs(out_dir, exist_ok=True)
-    imgs = decode_batch(image_paths)  # (T, H, W, 3) uint8, one decode call
-    H, W = imgs.shape[1:3]
+    # Decode PER WINDOW, not the whole video: a real GTEA video is ~15k
+    # frames at 720x960x3 (~30 GB as one array). Each window needs only
+    # frames [s-1, s+B) resident; the windows overlap by one frame.
+    probe = decode_batch(image_paths[:1])
+    H, W = probe.shape[1:3]
     if solve_fn is None:
         solve_fn = jax.jit(make_flow_quant_fn(spec, (H, W)))
     T = len(image_paths)
@@ -188,9 +191,11 @@ def extract_video_flow(
         # Pad the tail by repeating the last pair: one compiled shape.
         pad = B - len(idx)
         bidx = idx + [idx[-1]] * pad
+        lo = idx[0] - 1
+        window = decode_batch(image_paths[lo:idx[-1] + 1])
         q = np.asarray(solve_fn(
-            jnp.asarray(imgs[[i - 1 for i in bidx]]),
-            jnp.asarray(imgs[bidx]),
+            jnp.asarray(window[[i - 1 - lo for i in bidx]]),
+            jnp.asarray(window[[i - lo for i in bidx]]),
         ))
         for j, i in enumerate(idx):
             name = _flow_name(os.path.basename(image_paths[i]), spec.fmt)

@@ -83,6 +83,11 @@ def _read_gaze_txt(path: str) -> Tuple[np.ndarray, np.ndarray]:
     sentinel and is also invalid.
     """
     rows, valid = [], []
+    if not os.path.exists(path):
+        # No annotations for this video: build_manifest degrades to
+        # all-invalid records (frames stay usable for inference-style
+        # consumers) instead of aborting the whole manifest.
+        return np.zeros((0, 2), np.float32), np.zeros((0,), bool)
     with open(path) as f:
         for line in f:
             if not line.strip():
@@ -131,16 +136,24 @@ def build_manifest(root: str, native_hw: Tuple[int, int] = (720, 960)) -> GTEAMa
         vdir = os.path.join(images_dir, v)
         names = sorted(os.listdir(vdir))
         gaze, valid = _read_gaze_txt(os.path.join(root, "gaze", v + ".txt"))
-        if len(gaze):
+        annotated = bool(len(gaze))
+        if annotated:
             # Out-of-frame points (tracker glitches) are also invalid.
             valid &= (
                 (gaze[:, 0] >= 0) & (gaze[:, 0] < nw)
                 & (gaze[:, 1] >= 0) & (gaze[:, 1] < nh)
             )
+        if not annotated:
+            # Keep the video in the manifest with every row masked
+            # invalid — this used to be dead code behind a gaze-file
+            # crash (training consumers drop the rows via gaze_valid;
+            # inference-style consumers keep the frames).
+            gaze = np.zeros((len(names), 2), np.float32)
+            valid = np.zeros((len(names),), bool)
         fixsac_path = os.path.join(root, "fixsac", v + ".txt")
         if os.path.exists(fixsac_path):
             fixsac = _read_fixsac_txt(fixsac_path)
-        elif len(gaze):
+        elif annotated:
             # No eye-tracker segmentation shipped: derive labels from
             # the raw gaze with I-DT dispersion (data/fixation.py);
             # untracked frames can neither seed nor extend a fixation.
@@ -249,11 +262,35 @@ def _decode_flow_images(recs: List[FrameRecord]) -> np.ndarray:
     motion = 128); dequantization semantics live in
     ``ops.tvl1.dequantize_flow`` / ``ops.preprocess.normalize_flow_image``.
     """
-    if all(r.flow_xy_paths is not None for r in recs):
-        xs = _decode_images([r.flow_xy_paths[0] for r in recs])[..., 0]
-        ys = _decode_images([r.flow_xy_paths[1] for r in recs])[..., 0]
+    idx_xy = [i for i, r in enumerate(recs) if r.flow_xy_paths is not None]
+    idx_pk = [i for i, r in enumerate(recs) if r.flow_xy_paths is None]
+    missing = [i for i in idx_pk if recs[i].flow_path is None]
+    if missing:
+        raise FileNotFoundError(
+            f"records without any flow image in a precomputed-flow batch: "
+            f"{[recs[i].image_path for i in missing[:3]]}..."
+        )
+    if not idx_pk:
+        xs = _decode_images([recs[i].flow_xy_paths[0] for i in idx_xy])[..., 0]
+        ys = _decode_images([recs[i].flow_xy_paths[1] for i in idx_xy])[..., 0]
         return np.stack([xs, ys], axis=-1)
-    return _decode_images([r.flow_path for r in recs])[..., :2]
+    if not idx_xy:
+        return _decode_images([recs[i].flow_path for i in idx_pk])[..., :2]
+    # Mixed layouts in one (shuffled, cross-video) batch: decode each
+    # group separately — the native decoder sizes a batch off its first
+    # file — and merge back in record order at a common resolution.
+    pk = _decode_images([recs[i].flow_path for i in idx_pk])[..., :2]
+    h, w = pk.shape[1:3]
+    from gaze_tpu.data.native_io import decode_batch
+
+    xs = decode_batch([recs[i].flow_xy_paths[0] for i in idx_xy],
+                      target_hw=(h, w))[..., 0]
+    ys = decode_batch([recs[i].flow_xy_paths[1] for i in idx_xy],
+                      target_hw=(h, w))[..., 0]
+    out = np.empty((len(recs), h, w, 2), np.uint8)
+    out[idx_pk] = pk
+    out[idx_xy] = np.stack([xs, ys], axis=-1)
+    return out
 
 
 def pair_batches(

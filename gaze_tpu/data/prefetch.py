@@ -40,11 +40,16 @@ def device_prefetch(
     _END = object()
 
     def producer():
+        # Producer errors (corrupt JPEG mid-epoch, H2D failure) must
+        # PROPAGATE to the training loop, not end the epoch early with a
+        # success exit code — enqueue the exception and re-raise it on
+        # the consumer side.
         try:
             for batch in it:
                 q.put(jax.tree_util.tree_map(put, batch))
-        finally:
             q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — relayed, not dropped
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -52,4 +57,6 @@ def device_prefetch(
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

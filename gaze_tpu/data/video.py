@@ -304,12 +304,26 @@ def extract_frames(
                 "pre-extract frames into the images/<video>/ layout."
             ) from e
     os.makedirs(out_dir, exist_ok=True)
+    ext = os.path.splitext(pattern)[1] or ".jpg"
+    before = {f for f in os.listdir(out_dir) if f.endswith(ext)}
+    if before:
+        # Stale frames from a previous (possibly longer) extraction
+        # would silently mix into the dataset and desync gaze rows —
+        # say so loudly instead of inflating the returned count.
+        import warnings
+
+        warnings.warn(
+            f"extract_frames: {len(before)} pre-existing {ext} files "
+            f"under {out_dir!r}; frames not overwritten by this "
+            "extraction will MIX with the new ones (clear the directory "
+            "for a clean re-extraction)."
+        )
     cmd = [exe, "-y", "-i", video_path, "-q:v", str(quality)]
     if fps is not None:
         cmd += ["-vf", f"fps={fps}"]
     cmd += [os.path.join(out_dir, pattern)]
     subprocess.run(cmd, check=True, capture_output=True)
-    return len([f for f in os.listdir(out_dir) if f.endswith(".jpg")])
+    return len([f for f in os.listdir(out_dir) if f.endswith(ext)])
 
 
 def extract_dataset(videos_dir: str, images_root: str, **kwargs) -> dict:

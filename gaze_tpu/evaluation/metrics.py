@@ -67,9 +67,15 @@ def aae(
 def auc_judd(pred_hm: jnp.ndarray, gt_points: jnp.ndarray) -> jnp.ndarray:
     """Judd-style ROC AUC of each heatmap against a single GT fixation.
 
-    With one positive pixel, the ROC AUC reduces exactly to the fraction
-    of pixels whose saliency is strictly below the GT pixel's value plus
-    half the ties — computed as one reduction, no threshold sweep.
+    With one positive pixel, the ROC AUC reduces to one closed-form
+    reduction (no threshold sweep): the fraction of pixels whose
+    saliency is strictly below the GT pixel's value plus half the ties.
+    Convention note: the GT pixel itself is counted in its own tie set
+    and in the H*W denominator, so a strictly-max GT pixel scores
+    1 - 0.5/(H*W), not 1.0 — an O(1/HW) offset (≤0.002% at 224²) that
+    is identical for every model being compared and pinned by the
+    golden bundles. (The exact negatives-only form would use
+    (below + 0.5*(ties-1)) / (H*W - 1).)
 
     Args:
       pred_hm: (B, H, W).

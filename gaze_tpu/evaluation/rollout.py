@@ -268,8 +268,12 @@ def _decode_group_chunk(
             flow_c = np.full((V, chunk_len) + fl.shape[1:], 128, np.uint8)
             for (vi, t), f in zip(slots, fl):
                 flow_c[vi, t] = f
-        else:  # whole chunk past every video's end
-            flow_c = np.full((V, chunk_len, nh, nw, 2), 128, np.uint8)
+        else:  # pragma: no cover — unreachable from rollout_eval_videos
+            # (starts never exceed T_max, so some record always lands in
+            # the chunk); fail loudly rather than guess flow dims.
+            raise AssertionError(
+                "empty chunk: caller advanced past every video's end"
+            )
     return frames_c, fix_c, gaze_c, valid_c, flow_c
 
 
@@ -323,11 +327,24 @@ def rollout_eval_videos(
     )
     results: Dict[str, Tuple[float, float, int]] = {}
 
+    empty = [v for v in names if not recs[v]]
+    if empty:
+        raise ValueError(
+            f"rollout_eval_videos: empty record lists for {empty[:5]} — "
+            "a truncated/abandoned manifest entry; drop them before eval"
+        )
+    results_single: Dict[str, Tuple[float, float, int]] = {}
     with ThreadPoolExecutor(max_workers=1) as pool:
         for g in range(0, len(names), group_size):
             group = names[g : g + group_size]
             V = group_size  # fixed batch: pad short groups w/ inactive slots
             T_max = max(len(recs[v]) for v in group)
+            if T_max < 2:
+                # Single-frame videos have no flow pair — nothing to
+                # score (matches rollout_eval_arrays' count of 0).
+                for v in group:
+                    results_single[v] = (float("nan"), float("nan"), 0)
+                continue
             state = pipeline.init_state(V)
 
             # Seed prev with each video's frame 0 (scoring starts at 1).
@@ -383,4 +400,5 @@ def rollout_eval_videos(
                 results[v] = (
                     float(aae_s[vi] / n), float(auc_s[vi] / n), int(cnt[vi])
                 )
+    results.update(results_single)
     return results

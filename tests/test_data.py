@@ -252,6 +252,25 @@ class TestGTEAManifest:
         assert len(m.frames["Alice_Pizza"]) == 4
         assert m.frames["Alice_Pizza"][2].fixation == 0.0
 
+    def test_video_without_annotations_degrades(self, fake_root):
+        """A video with no gaze txt stays in the manifest with every row
+        masked invalid (it used to crash the whole build)."""
+        from PIL import Image
+
+        vdir = os.path.join(fake_root, "images", "Carl_Snack")
+        os.makedirs(vdir)
+        for i in range(3):
+            Image.new("RGB", (32, 24), (0, i * 5, 0)).save(
+                os.path.join(vdir, f"{i:06d}.jpg")
+            )
+        m = build_manifest(fake_root)
+        assert "Carl_Snack" in m.videos
+        recs = m.frames["Carl_Snack"]
+        assert len(recs) == 3
+        assert not any(r.gaze_valid for r in recs)
+        # annotated videos are unaffected
+        assert len(m.frames["Alice_Pizza"]) == 4
+
     def test_split(self, fake_root):
         m = build_manifest(fake_root)
         train, test = m.split_leave_one_out("Alice")
@@ -348,6 +367,24 @@ class TestPrecomputedFlow:
         for k, i in enumerate([1, 2, 3]):
             assert abs(int(b["flow_img"][k, 12, 16, 0]) - (128 + 10 * i)) <= 3
             assert abs(int(b["flow_img"][k, 12, 16, 1]) - (128 - 10 * i)) <= 3
+
+    def test_mixed_layout_batch(self, tmp_path):
+        """A shuffled batch mixing packed-layout records with
+        split-x/y-layout records (both layouts are producible by
+        --extract_flow) must decode — it used to crash on the
+        all-or-nothing layout check."""
+        from gaze_tpu.data.gtea import _decode_flow_images
+
+        m1 = build_manifest(self._make_root(tmp_path / "p", "packed"))
+        m2 = build_manifest(self._make_root(tmp_path / "s", "split"))
+        recs = [m1.frames["Dan_Toast"][1], m2.frames["Dan_Toast"][2],
+                m1.frames["Dan_Toast"][3]]
+        fl = _decode_flow_images(recs)
+        assert fl.shape == (3, 24, 32, 2) and fl.dtype == np.uint8
+        # values land near each record's own encoding (order preserved)
+        assert abs(int(fl[0, 12, 16, 0]) - (128 + 10 * 1)) <= 3
+        assert abs(int(fl[1, 12, 16, 0]) - (128 + 10 * 2)) <= 3
+        assert abs(int(fl[2, 12, 16, 0]) - (128 + 10 * 3)) <= 3
 
     def test_pipeline_consumes_external_flow(self, tmp_path):
         """preprocess_pair must feed the decoded flow image (resized +
@@ -494,6 +531,18 @@ class TestWeightSequences:
 
 
 class TestPrefetch:
+    def test_producer_error_propagates(self):
+        """A decode error mid-epoch must raise in the training loop, not
+        end the epoch early with a success exit (silent data loss)."""
+        def bad_iter():
+            yield {"x": np.zeros((2, 2), np.float32)}
+            raise IOError("corrupt JPEG")
+
+        it = device_prefetch(bad_iter())
+        next(it)
+        with pytest.raises(IOError, match="corrupt"):
+            next(it)
+
     def test_preserves_order_and_values(self):
         import jax.numpy as jnp
 
